@@ -1,0 +1,110 @@
+"""Pipeline configuration.
+
+The reference exposes its search-space knobs as config
+(`/root/reference/pkg/config/config.go:98-112` — MaxEditDist clamped to
+1..2, data-source filters, JobsNum) loaded from yaml/env
+(`/root/reference/cmd/root.go:98-136`). The dedup analog is this frozen
+dataclass: every threshold that affects which duplicate pairs are found
+(shingle size, number of permutations, LSH banding, Hamming radius,
+Jaccard cutoff) lives here so a run is reproducible and the recall gate
+("recall >= 0.99 at identical shingle/signature config") is meaningful.
+
+``config_hash`` stamps every checkpoint (FIXTURES.md §4) so resume
+refuses to reuse stages computed under different parameters — the analog
+of the reference rebuilding its matcher cache dirs when config changes
+(`/root/reference/PLAN_gnmatcher_embed.md:263`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+def lsh_catch_probability(s: float, bands: int, rows: int) -> float:
+    """P(a pair with true Jaccard ``s`` shares >=1 LSH bucket) = 1-(1-s^r)^b."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def optimal_bands(num_perms: int, tau: float, target_recall: float = 0.99) -> tuple[int, int]:
+    """Pick (bands, rows) with bands*rows == num_perms maximizing rows
+    (fewest false candidates) subject to catch-probability at Jaccard
+    ``tau`` being >= ``target_recall``.
+
+    The reference hand-clamps its fuzzy search space (MaxEditDist <= 2,
+    `/root/reference/pkg/config/config.go:100-112`) and documents the
+    false-negative class the clamp creates (README.md:197-203); we derive
+    ours from the recall target instead and document the result the same
+    way.
+    """
+    best: tuple[int, int] | None = None
+    r = 1
+    while r <= num_perms:
+        if num_perms % r == 0:
+            b = num_perms // r
+            if lsh_catch_probability(tau, b, r) >= target_recall:
+                best = (b, r)
+        r += 1
+    if best is None:
+        best = (num_perms, 1)
+    return best
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs of the near-duplicate pipeline. Frozen: hash-stable."""
+
+    # shingling
+    shingle_k: int = 5            # words per shingle
+    shingle_mode: str = "word"    # "word" | "char"
+
+    # MinHash / LSH
+    num_perms: int = 128
+    bands: int = 32               # bands * rows_per_band == num_perms
+    rows_per_band: int = 4        # (32,4): P(catch|J=0.75) ≈ 0.999995
+    minhash_seed: int = 42
+
+    # SimHash / Hamming
+    simhash_bits: int = 64
+    hamming_d: int = 3            # pigeonhole: d+1 = 4 chunks of 16 bits
+
+    # verification
+    jaccard_threshold: float = 0.8
+
+    # substring (suffix) pass
+    min_substring_len: int = 512  # chars of exact shared substring
+    anchor_mod: int = 16          # shingle hash % anchor_mod == 0 → anchor
+
+    # skew / overload handling (analog of the reference's 100-results /
+    # 20-virus truncation, /root/reference/internal/io/pgio/match_records_map.go:17-22)
+    bucket_cap: int = 256         # max docs per LSH bucket; larger buckets dropped+logged
+
+    # execution
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 2048
+    max_cc_iterations: int = 50
+
+    # optional pre-filter (F7 analog: lang filter,
+    # /root/reference/internal/io/pgio/vern_query.go:84-93)
+    lang_filter: str | None = None
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+    def with_overrides(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows_per_band}) must equal num_perms ({self.num_perms})"
+            )
+        if self.simhash_bits != 64:
+            raise ValueError("simhash_bits must be 64 (packed into one long column)")
+        if self.simhash_bits % (self.hamming_d + 1) != 0:
+            raise ValueError("hamming_d+1 must divide simhash_bits for pigeonhole chunks")
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,70 @@
+"""SimHash 64-bit fingerprints — vectorized numpy inside a pandas UDF.
+
+Second candidate-generation modality alongside MinHash/LSH (the
+reference likewise layers two approximate indexes before exact
+verification: bloom-filter exact screen + levenshtein trie,
+`/root/reference/PLAN_gnmatcher_embed.md:14-18`). SimHash catches
+near-dups whose *token frequency profile* matches even when shingle
+sets drift (e.g. small reorderings), and its Hamming-ball join
+(operators/simhash_join.py) is cheap.
+
+Kernel: per doc, unpack each 64-bit token hash into its 64 bits, sum
+(+1 for bit set, −1 for clear) over tokens, take the sign per bit
+position, repack to one int64. Batched via ``np.add.reduceat`` over the
+flattened token-hash array — no per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def simhash_array(token_hash_lists: list[np.ndarray]) -> np.ndarray:
+    """int64 SimHash per doc for a batch of token-hash arrays."""
+    n_docs = len(token_hash_lists)
+    sizes = np.fromiter((len(t) for t in token_hash_lists), dtype=np.int64, count=n_docs)
+    out = np.zeros(n_docs, dtype=np.int64)
+    nonempty = sizes > 0
+    if not nonempty.any():
+        return out
+    flat = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t, sz in zip(token_hash_lists, sizes) if sz > 0]
+    )
+    # bits: (total_tokens, 64) — little-endian bit order is fine as long
+    # as it is consistent between hashing and chunk extraction.
+    as_u64 = flat.view(np.uint64)
+    bits = ((as_u64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    contrib = 2 * bits - 1  # ±1
+    ne_sizes = sizes[nonempty]
+    offsets = np.zeros(len(ne_sizes), dtype=np.int64)
+    np.cumsum(ne_sizes[:-1], out=offsets[1:])
+    sums = np.add.reduceat(contrib, offsets, axis=0)  # (ne_docs, 64)
+    sign_bits = (sums >= 0).astype(np.uint64)
+    packed = (sign_bits * _BIT_WEIGHTS[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed.view(np.int64)
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(token_hashes: pd.Series) -> pd.Series:
+    lists = [
+        np.asarray(x, dtype=np.int64) if x is not None and len(x) else np.empty(0, np.int64)
+        for x in token_hashes
+    ]
+    return pd.Series(simhash_array(lists))
+
+
+def simhash(token_hash_col: str | Column) -> Column:
+    col = F.col(token_hash_col) if isinstance(token_hash_col, str) else token_hash_col
+    return simhash_udf(col)
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two int64 fingerprints — test helper."""
+    return int(bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1"))
