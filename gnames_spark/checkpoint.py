@@ -1,0 +1,156 @@
+"""Stage checkpointing with manifest-validated resume.
+
+Reference analog: gnmatcher's startup cache dirs — the bloom/trie/KV
+indexes are built once and reused across restarts
+(`/root/reference/pkg/config/config.go:56-72`,
+`/root/reference/PLAN_gnmatcher_embed.md:263`). Here every pipeline
+stage (docs, signatures, candidate_pairs, verified_pairs, components)
+is written to a table; a JSON manifest records (stage, config_hash,
+row_count, duration, schema). Rerunning with the same config hash skips
+completed stages; a config change invalidates everything downstream.
+
+Two backends behind one interface (SURVEY §7.5):
+- ``ParquetCheckpointIO`` — parquet directory + ``_manifest.json``,
+  atomic via write-to-tmp-then-rename. Used in this sandbox and tests.
+- ``IcebergCheckpointIO`` — ``writeTo(table).createOrReplace()`` against
+  a configured Iceberg catalog (production path per north_rule). It is
+  config-selected and import-guarded: the sandbox has no Iceberg jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StageResult:
+    stage: str
+    rows: int
+    secs: float
+    path: str
+    reused: bool
+
+
+class ParquetCheckpointIO:
+    """Parquet-dir checkpoint store with JSON manifest + atomic replace."""
+
+    def __init__(self, root: str, config_hash: str):
+        self.root = root
+        self.config_hash = config_hash
+        os.makedirs(root, exist_ok=True)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "_manifest.json")
+
+    def _data_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "data")
+
+    def is_complete(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        return m.get("config_hash") == self.config_hash and m.get("complete") is True
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self._data_path(stage))
+
+    def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> StageResult:
+        """Materialize df; atomic: data lands in a tmp dir, manifest is
+        written last (a crashed run leaves no valid manifest → stage
+        recomputes on resume)."""
+        t0 = time.monotonic()
+        stage_dir = os.path.join(self.root, stage)
+        tmp = os.path.join(stage_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        final = self._data_path(stage)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        spark = df.sparkSession
+        rows = spark.read.parquet(final).count()
+        secs = time.monotonic() - t0
+        manifest = {
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "rows": rows,
+            "secs": round(secs, 3),
+            "schema": df.schema.simpleString(),
+            "complete": True,
+        }
+        mp = self._manifest_path(stage)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(mp + ".tmp", mp)
+        return StageResult(stage, rows, secs, final, reused=False)
+
+    def write_or_reuse(
+        self,
+        spark: SparkSession,
+        stage: str,
+        build,
+        partition_by: list[str] | None = None,
+    ) -> tuple[DataFrame, StageResult]:
+        """Resume contract: if the stage is complete under this config
+        hash, read it back; otherwise call ``build()`` and persist."""
+        if self.is_complete(stage):
+            df = self.read(spark, stage)
+            with open(self._manifest_path(stage)) as f:
+                m = json.load(f)
+            return df, StageResult(stage, m["rows"], 0.0, self._data_path(stage), reused=True)
+        df = build()
+        res = self.write(df, stage, partition_by)
+        return self.read(spark, stage), res
+
+    def invalidate(self, stage: str) -> None:
+        sd = os.path.join(self.root, stage)
+        if os.path.exists(sd):
+            shutil.rmtree(sd)
+
+
+class IcebergCheckpointIO:
+    """Iceberg-backed checkpoints (production). Requires the
+    iceberg-spark-runtime jar and a catalog named in ``catalog``;
+    unavailable in this sandbox — selected via PipelineRunner(io=...).
+
+    Semantics mirror ParquetCheckpointIO: atomic stage replacement
+    (``createOrReplace``), manifest stored as table property
+    ``gnames.config_hash``; resume validates the property.
+    """
+
+    def __init__(self, catalog: str, namespace: str, config_hash: str):
+        self.catalog = catalog
+        self.namespace = namespace
+        self.config_hash = config_hash
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
+    def is_complete(self, spark: SparkSession, stage: str) -> bool:  # pragma: no cover
+        try:
+            props = spark.sql(f"SHOW TBLPROPERTIES {self._table(stage)}").collect()
+        except Exception:
+            return False
+        kv = {r["key"]: r["value"] for r in props}
+        return kv.get("gnames.config_hash") == self.config_hash
+
+    def write(self, df: DataFrame, stage: str) -> None:  # pragma: no cover
+        (
+            df.writeTo(self._table(stage))
+            .tableProperty("gnames.config_hash", self.config_hash)
+            .createOrReplace()
+        )

@@ -1,0 +1,125 @@
+"""Connected components — iterative large-star/small-star join loop.
+
+Reference analog: lexical grouping, the clustering step that merges all
+spelling variants of one name into a LexicalGroup
+(`/root/reference/pkg/ent/lexgroup/lexgroup.go:90-116,137-172`). The
+reference does it single-pass in Go memory; at 10^12 docs the duplicate
+graph doesn't fit anywhere, so we run the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond") — O(log^2 n) rounds of two join+agg steps over
+the edge set, converging to a star forest whose centers are the
+component minima.
+
+Scale notes:
+- The per-node min is a `groupBy().min()` — Spark's hash aggregate does
+  map-side partial combine, so hot nodes (boilerplate megaclusters) do
+  NOT skew the agg; the join of mins back to the neighbor list is the
+  skewed op and runs under AQE skew-join splitting.
+- `localCheckpoint(eager=True)` every iteration cuts lineage — without
+  it the plan doubles per round and the driver OOMs on plan size.
+- Convergence test is a fixed-point check on (edge_count,
+  sum(xxhash64(src,dst))) — two scalars per round, no subtract/collect
+  of edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: src > dst, no self-loops, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every neighbor v > u to min(Γ(u) ∪ {u})."""
+    nb = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        nb.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("_mn", "src").alias("m"))
+    )
+    return (
+        nb.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach every smaller neighbor (and u itself) to min(Γ(u))."""
+    e = _normalize(edges)  # src > dst everywhere
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    with_self = e.select("src", "dst").union(mins.select("src", F.col("src").alias("dst")))
+    return (
+        with_self.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .dropDuplicates()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """(src, dst) edge list → (doc_id, component_id) assignments.
+
+    component_id is the minimum doc id of the component (deterministic,
+    matching the reference's best-representative-by-stable-order rule,
+    `/root/reference/pkg/gnames_verif.go:92-107`). Nodes that appear in
+    no edge are absent — callers attach singletons with
+    ``all_components``.
+    """
+    e = _normalize(edges)
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    prev = _checksum(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e))
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+    # e is now a star forest: (member, root). Roots map to themselves.
+    members = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("component_id"))
+    roots = e.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component_id")).dropDuplicates()
+    return members.union(roots).dropDuplicates(["doc_id"])
+
+
+def all_components(
+    docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Left-join assignments onto the full doc set; singletons become
+    their own component (NoMatch analog, SURVEY §2.7 U1)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(assignments, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+    )

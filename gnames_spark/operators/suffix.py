@@ -1,0 +1,173 @@
+"""Long exact-substring dedup — anchor candidates + rolling-hash LCS.
+
+Reference analog: PartialExact matching — a name matching only a
+sub-part of another (`/root/reference/README.md:47-50`), found via a
+dedicated index pass rather than the main fuzzy path. Here: pages that
+embed one long (>= min_substring_len chars) exact substring inside
+otherwise-different text, which shingle-Jaccard under-scores.
+
+Two stages:
+1. **Anchor candidates** (pure Catalyst): a deterministic 1/anchor_mod
+   subsample of shingle hashes ("anchors", a winnowing-style content-
+   defined sample). Two docs sharing a >=512-char substring of k-word
+   shingles share ~that-many shingles, so they share an anchor with
+   probability ~1-(1-1/q)^(L/q)... in practice >=1 anchor almost surely.
+   Self-join posting lists of anchors (same J1 join shape as LSH),
+   capped per anchor like LSH buckets.
+2. **LCS verification** (grouped pandas UDF): exact longest-common-
+   substring length per candidate pair via binary search over rolling
+   hashes (two 31-bit moduli + direct string confirmation — collision-
+   proof and deterministic). Runs inside ``mapInPandas`` over the
+   pair+texts join — Arrow-batched, no per-row Python round trips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gnames_spark.config import DedupConfig
+
+_P1, _B1 = np.uint64(2147483647), np.uint64(1000003)      # 2^31-1
+_P2, _B2 = np.uint64(2147483629), np.uint64(100019)
+
+
+def _window_hashes(codes: np.ndarray, L: int, p: np.uint64, base: np.uint64) -> np.ndarray:
+    """Polynomial hashes of all length-L windows, mod p (uint64-exact:
+    operands stay < 2^31 so products stay < 2^62)."""
+    n = len(codes)
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    c = codes.astype(np.uint64) % p
+    # prefix[i] = hash of codes[:i]
+    prefix = np.empty(n + 1, dtype=np.uint64)
+    prefix[0] = 0
+    for i in range(n):  # sequential dependency; n is a few KB — cheap
+        prefix[i + 1] = (prefix[i] * base + c[i]) % p
+    # pow_L = base^L mod p
+    pow_l = np.uint64(pow(int(base), L, int(p)))
+    starts = prefix[: n - L + 1]
+    ends = prefix[L:]
+    return (ends + (p - (starts * pow_l) % p)) % p
+
+
+def _common_window(a_codes: np.ndarray, b_codes: np.ndarray, L: int, a: str, b: str) -> bool:
+    """True iff a and b share some exact substring of length L."""
+    if len(a_codes) < L or len(b_codes) < L:
+        return False
+    ha1 = _window_hashes(a_codes, L, _P1, _B1)
+    hb1 = _window_hashes(b_codes, L, _P1, _B1)
+    common1 = np.intersect1d(ha1, hb1, assume_unique=False)
+    if len(common1) == 0:
+        return False
+    ha2 = _window_hashes(a_codes, L, _P2, _B2)
+    hb2 = _window_hashes(b_codes, L, _P2, _B2)
+    # double-hash match, then direct string confirmation (collision-proof)
+    b_by_pair: dict[tuple[int, int], list[int]] = {}
+    for j in np.flatnonzero(np.isin(hb1, common1)):
+        b_by_pair.setdefault((int(hb1[j]), int(hb2[j])), []).append(int(j))
+    for i in np.flatnonzero(np.isin(ha1, common1)):
+        js = b_by_pair.get((int(ha1[i]), int(ha2[i])))
+        if js:
+            window = a[i : i + L]
+            if any(b[j : j + L] == window for j in js):
+                return True
+    return False
+
+
+def lcs_length(a: str, b: str) -> int:
+    """Exact longest-common-substring length, O((n+m) log min(n,m))."""
+    if not a or not b:
+        return 0
+    a_codes = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    b_codes = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lo, hi = 0, min(len(a_codes), len(b_codes))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _common_window(a_codes, b_codes, mid, a, b):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def has_common_substring(a: str, b: str, min_len: int) -> bool:
+    """True iff a and b share an exact substring of >= min_len chars.
+    (Any longer common substring contains a length-min_len one, so a
+    single window check suffices — no binary search.)"""
+    if not a or not b:
+        return False
+    a_codes = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    b_codes = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    return _common_window(a_codes, b_codes, min_len, a, b)
+
+
+def anchor_candidates(
+    shingle_sets: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", set_col: str = "shingle_set"
+) -> tuple[DataFrame, DataFrame]:
+    """Docs sharing an anchor shingle → candidate pairs (method='anchor').
+
+    Anchors: shingle hashes with pmod(hash, anchor_mod) == 0 — a
+    deterministic content-defined 1/anchor_mod sample of each doc's
+    shingles, so shared long substrings surface as shared anchors
+    without comparing full sets.
+    """
+    anchors = shingle_sets.select(
+        id_col, F.explode(set_col).alias("anchor")
+    ).filter(F.pmod(F.col("anchor"), F.lit(cfg.anchor_mod)) == 0)
+    counts = anchors.groupBy("anchor").agg(F.count("*").alias("n_docs"))
+    overflow = counts.filter(F.col("n_docs") > cfg.bucket_cap)
+    kept = anchors.join(overflow.select("anchor"), "anchor", "left_anti").repartition(
+        cfg.shuffle_partitions, "anchor"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "anchor", "inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("method", F.lit("anchor"))
+    )
+    return pairs, overflow
+
+
+def substring_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verify candidate pairs for a shared >= min_substring_len substring.
+
+    Joins texts onto the pairs (two shuffles) then streams Arrow batches
+    through the rolling-hash window check. Output:
+    (doc_a, doc_b, method='suffix', passed, lcs_len=-1 sentinel unless
+    computed).
+    """
+    min_len = cfg.min_substring_len
+    texts_a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    texts_b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    joined = pairs.select("doc_a", "doc_b").join(texts_a, "doc_a").join(texts_b, "doc_b")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            passed = [
+                has_common_substring(ta, tb, min_len)
+                for ta, tb in zip(pdf["_ta"], pdf["_tb"])
+            ]
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "passed": passed}
+            )
+
+    out_schema = (
+        joined.select("doc_a", "doc_b").schema.add("passed", "boolean", False)
+    )
+    return (
+        joined.mapInPandas(check, schema=out_schema)
+        .withColumn("method", F.lit("suffix"))
+    )

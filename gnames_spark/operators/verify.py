@@ -1,0 +1,98 @@
+"""Exact verification of candidate pairs — Jaccard on shingle sets.
+
+Reference analog: hydration + edit-distance screening — candidates from
+the approximate index are joined back to ground truth and filtered
+(`/root/reference/internal/io/pgio/match_records_map.go:31-35` is the
+join-back, `:75-92` the EditDistance <= 5 cutoff). Here the join-back
+target is the `shingle_sets` table and the cutoff is
+``jaccard >= cfg.jaccard_threshold``.
+
+Jaccard is pure Catalyst: size(array_intersect)/size(array_union) —
+no UDF in the verification hot path (SURVEY §2.8 target kernels note).
+
+Scale notes: two shuffled joins (pairs⋈sets on doc_a, then on doc_b).
+The shingle-set arrays ride the shuffle once each; at 10^12 docs one
+would bucket `shingle_sets` by doc_id (Iceberg sorted/bucketed layout)
+so both joins co-locate — noted in plans/. AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gnames_spark.config import DedupConfig
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    shingle_sets: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    set_col: str = "shingle_set",
+) -> DataFrame:
+    """(doc_a, doc_b, method) → + (jaccard, passed).
+
+    Exact Jaccard over the distinct-shingle sets of both docs; pairs
+    whose either side has an empty set get jaccard 0.0 (they can only
+    be duplicates via the exact or substring paths).
+    """
+    sets_a = shingle_sets.select(
+        F.col(id_col).alias("doc_a"), F.col(set_col).alias("_set_a")
+    )
+    sets_b = shingle_sets.select(
+        F.col(id_col).alias("doc_b"), F.col(set_col).alias("_set_b")
+    )
+    joined = candidates.join(sets_a, "doc_a", "inner").join(sets_b, "doc_b", "inner")
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .withColumn("passed", F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .drop("_set_a", "_set_b")
+    )
+
+
+def exact_jaccard_pairs(
+    shingle_sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    set_col: str = "shingle_set",
+    min_shared: int = 1,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold, without a cross join.
+
+    Any pair with jaccard > 0 shares >= 1 shingle, so the exact
+    candidate set is the self-join of the exploded (shingle, doc)
+    posting list — the same J1 posting-list shape. Intersection sizes
+    come from the group count, union from |A|+|B|-|A∩B|; no arrays are
+    shuffled. This is the *oracle-grade* exact algorithm (used by the
+    recall gate and the DuckDB-comparable query); LSH replaces it at
+    scale only because the posting-list join explodes on huge corpora.
+    """
+    sized = shingle_sets.select(id_col, F.size(set_col).alias("_n"), set_col)
+    posting = sized.select(
+        F.col(id_col), F.col("_n"), F.explode(set_col).alias("shingle")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, "shingle", "inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .filter(F.col("n_inter") >= min_shared)
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,223 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+The Spark shape of the reference's verify lifecycle (SURVEY §3.1):
+
+    pages → extract (pandas UDF) → docs (content_sha, shingles)
+          → [exact branch | MinHash→LSH branch | SimHash branch | anchor branch]
+          → union candidate pairs → exact-Jaccard / substring verification
+          → pair scoring → connected components → representatives
+
+Candidate generation and hydration — two different *systems* in the
+reference (gnmatcher + PostgreSQL) — collapse into joins inside one
+engine. Every stage checkpoints through CheckpointIO so a killed run
+resumes (north_rule), and per-stage metrics record docs/sec.
+
+Scale defaults baked in: html is dropped immediately after extraction
+(column pruning — it dominates bytes, SURVEY §4 P2); exact-dup
+representatives screen the corpus before the expensive branches (early-
+exit cascade P3); every candidate source caps hot buckets and logs the
+overflow (P5); pair tables stay flat — nothing is collect_list'd until
+the reporting edge.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gnames_spark.checkpoint import ParquetCheckpointIO
+from gnames_spark.config import DedupConfig
+from gnames_spark.functions.extraction import extract_text
+from gnames_spark.functions.minhash import minhash
+from gnames_spark.functions.shingles import shingle_set, token_hashes
+from gnames_spark.functions.simhash import simhash
+from gnames_spark.metrics import MetricsCollector
+from gnames_spark.operators.components import all_components, connected_components
+from gnames_spark.operators.exact import distinct_content, exact_dup_edges, with_content_sha
+from gnames_spark.operators.lsh import lsh_candidates
+from gnames_spark.operators.representatives import cluster_summary, select_representatives
+from gnames_spark.operators.scoring import pair_score
+from gnames_spark.operators.simhash_join import simhash_candidates
+from gnames_spark.operators.suffix import anchor_candidates, substring_verify
+from gnames_spark.operators.verify import verify_pairs
+
+
+class DedupPipeline:
+    """Orchestrates the stages; with a checkpoint root, every stage is
+    resumable and metered."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig | None = None,
+        checkpoint_root: str | None = None,
+        run_id: str | None = None,
+        enable_simhash: bool = True,
+        enable_substring: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.cfg.validate()
+        self.metrics = MetricsCollector(run_id or uuid.uuid4().hex[:12])
+        self.io = (
+            ParquetCheckpointIO(checkpoint_root, self.cfg.config_hash())
+            if checkpoint_root
+            else None
+        )
+        self.enable_simhash = enable_simhash
+        self.enable_substring = enable_substring
+
+    # -- stage helper ------------------------------------------------
+    def _stage(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        if self.io is not None:
+            df, res = self.io.write_or_reuse(self.spark, name, build, partition_by)
+            self.metrics.record(name, res.rows, res.secs, reused=res.reused)
+            return df
+        df = build()
+        return df
+
+    # -- stages --------------------------------------------------------
+    def prepare_docs(self, pages: DataFrame) -> DataFrame:
+        """pages(url, html[, text]) → docs(doc_id, url, text, lang,
+        content_sha, n_chars). html is extracted then DROPPED."""
+        cfg = self.cfg
+
+        def build():
+            df = pages
+            if "html" in df.columns:
+                df = df.withColumn("text", extract_text("html")).drop("html")
+            if cfg.lang_filter is not None:
+                df = df.filter(F.col("lang") == cfg.lang_filter)
+            if "doc_id" not in df.columns:
+                # deterministic content-independent id (UUIDv5-of-url analog,
+                # /root/reference/pkg/gnames_verif.go:48)
+                df = df.withColumn("doc_id", F.xxhash64("url"))
+            df = with_content_sha(df)
+            return df.withColumn("n_chars", F.length("text"))
+
+        return self._stage("docs", build)
+
+    def signatures(self, docs: DataFrame) -> DataFrame:
+        """One row per DISTINCT content: shingle set + minhash + simhash.
+
+        Exact duplicates are signed once (early-exit cascade) — at web
+        scale this is a huge saving (Common Crawl is ~50%+ exact dups).
+        """
+        cfg = self.cfg
+
+        def build():
+            reps = distinct_content(docs)
+            return (
+                reps.select("doc_id", "text")
+                .withColumn("shingle_set", shingle_set("text", cfg.shingle_k))
+                .withColumn(
+                    "minhash", minhash("shingle_set", cfg.num_perms, cfg.minhash_seed)
+                )
+                .withColumn("simhash", simhash(token_hashes("text")))
+                .drop("text")
+                .withColumn("config_hash", F.lit(cfg.config_hash()))
+            )
+
+        return self._stage("signatures", build)
+
+    def candidates(self, docs: DataFrame, signatures: DataFrame) -> DataFrame:
+        """Union of the candidate branches (U2 analog: the reference
+        unions canonical+virus hydration results,
+        /root/reference/internal/io/pgio/match_records_map.go:143-144)."""
+        cfg = self.cfg
+
+        def build():
+            exact = exact_dup_edges(docs).select("doc_a", "doc_b", "method")
+            nonempty = signatures.filter(F.size("shingle_set") > 0)
+            lsh_pairs, lsh_overflow = lsh_candidates(
+                nonempty.select("doc_id", "minhash"), cfg
+            )
+            branches = [exact, lsh_pairs.select("doc_a", "doc_b", "method")]
+            if self.enable_simhash:
+                sim_pairs, _ = simhash_candidates(
+                    nonempty.select("doc_id", "simhash"), cfg
+                )
+                branches.append(sim_pairs.select("doc_a", "doc_b", "method"))
+            if self.enable_substring:
+                anc_pairs, _ = anchor_candidates(nonempty, cfg)
+                branches.append(anc_pairs.select("doc_a", "doc_b", "method"))
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
+            # keep strongest method per pair (exact > suffix/anchor > lsh > simhash)
+            return (
+                out.groupBy("doc_a", "doc_b")
+                .agg(F.max_by("method", F.when(F.col("method") == "exact", 3)
+                              .when(F.col("method") == "lsh", 2)
+                              .otherwise(1)).alias("method"))
+            )
+
+        return self._stage("candidate_pairs", build)
+
+    def verified(self, candidates: DataFrame, signatures: DataFrame, docs: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build():
+            # exact-method pairs are already proven (byte identity)
+            exact = candidates.filter(F.col("method") == "exact").withColumn(
+                "jaccard", F.lit(1.0)
+            ).withColumn("passed", F.lit(True))
+            rest = candidates.filter(F.col("method") != "exact")
+            ver = verify_pairs(rest, signatures, cfg, set_col="shingle_set")
+            if self.enable_substring:
+                # pairs failing Jaccard get the substring check (PartialExact)
+                failed = ver.filter(~F.col("passed")).select("doc_a", "doc_b")
+                sub = substring_verify(failed, docs, cfg).filter("passed")
+                sub_edges = sub.select(
+                    "doc_a", "doc_b", F.lit("suffix").alias("method"),
+                    F.lit(0.0).alias("jaccard"), F.lit(True).alias("passed"),
+                )
+                ver = ver.select("doc_a", "doc_b", "method", "jaccard", "passed").unionByName(
+                    sub_edges
+                ).groupBy("doc_a", "doc_b").agg(
+                    F.max_by("method", F.when(F.col("passed"), 2).otherwise(1)).alias("method"),
+                    F.max("jaccard").alias("jaccard"),
+                    F.max("passed").alias("passed"),
+                )
+            else:
+                ver = ver.select("doc_a", "doc_b", "method", "jaccard", "passed")
+            out = exact.select("doc_a", "doc_b", "method", "jaccard", "passed").unionByName(ver)
+            return out.withColumn("score", pair_score(hamming_col=None))
+
+        return self._stage("verified_pairs", build)
+
+    def components(self, docs: DataFrame, verified: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build():
+            edges = (
+                verified.filter("passed")
+                .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            )
+            assign = connected_components(edges, max_iterations=cfg.max_cc_iterations)
+            # exact-dup members share content_sha with the signed
+            # representative; they inherit its component through the
+            # exact star edges already present in `edges`.
+            return all_components(docs, assign)
+
+        return self._stage("components", build)
+
+    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        docs = self.prepare_docs(pages)
+        sigs = self.signatures(docs)
+        cands = self.candidates(docs, sigs)
+        ver = self.verified(cands, sigs, docs)
+        comps = self.components(docs, ver)
+        reps = select_representatives(comps)
+        summary = cluster_summary(comps)
+        return {
+            "docs": docs,
+            "signatures": sigs,
+            "candidate_pairs": cands,
+            "verified_pairs": ver,
+            "components": comps,
+            "representatives": reps,
+            "cluster_summary": summary,
+        }
