@@ -1,0 +1,108 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "scaling": {...}}   # scaling block only when SPARK_GRAFT_SCALING=1
+
+The headline is the flagship dedup pipeline (extract-less corpus →
+signatures → LSH+SimHash+anchor candidates → verify → components →
+representatives) over the sf documents table, plus one query per major
+operator family. Each timing includes full materialization (count/write),
+not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench_queries(spark, sf_dir):
+    import __spark_entry__ as entry
+    from gnames_spark.config import DedupConfig
+    from gnames_spark.pipeline import DedupPipeline
+    from pyspark.sql import functions as F
+
+    qs = entry.queries()
+    picked = [
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "dedup_simhash_pairs",
+        "dedup_exact_groups",
+        "q1_pricing_summary",
+        "j1_multiway_join",
+        "w2_best_with_ties",
+        "events_sessionization",
+        "emb_topk",
+        "text_token_counts",
+    ]
+    timings: dict[str, float] = {}
+    for name in picked:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship: full pipeline end-to-end on the documents corpus
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        )
+    )
+    n_docs = docs.count()
+    cfg = DedupConfig(shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    t0 = time.monotonic()
+    res = DedupPipeline(spark, cfg).run(docs)
+    res["components"].count()
+    res["representatives"].filter("is_representative").count()
+    pipeline_sec = round(time.monotonic() - t0, 3)
+    timings["dedup_full_pipeline"] = pipeline_sec
+    return timings, n_docs, pipeline_sec
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from gnames_spark.session import get_spark
+
+    spark = get_spark(app_name="gnames_spark_bench", master=f"local[{cpus}]")
+    try:
+        timings, n_docs, pipeline_sec = _bench_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "dedup pipeline + operator battery wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "cpus": int(cpus),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # scaling evidence is produced by tools/scaling_bench.py (separate
+        # JVMs per parallelism level); embed its last result if present
+        try:
+            with open("BENCH_SCALING.json") as f:
+                out["scaling"] = json.load(f)
+        except OSError:
+            pass
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
