@@ -141,7 +141,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     recall at TAU=0.8 with (32,4) banding is 1 - ~5e-8 per pair, so the
     result must equal the exact pair set.
     """
-    sets = _doc_shingle_sets(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
     sigs = sets.filter(F.size("shingle_set") > 0).select(
         "doc_id", minhash("shingle_set", CFG.num_perms, CFG.minhash_seed).alias("minhash")
     )
@@ -155,7 +155,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_components(spark, sf_dir):
     """M4 connected components over jaccard edges (J10/A9 analog)."""
-    sets = _doc_shingle_sets(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
     edges = (
         exact_jaccard_pairs(sets, TAU, set_col="shingle_set")
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -35,15 +35,31 @@ def token_hashes(col: str = "text") -> Column:
     )
 
 
+def _bind_tokens(col: str, body: str, k: int) -> str:
+    """Evaluate the tokenizer ONCE per row and bind it as lambda var
+    ``ws`` inside ``body``.
+
+    Higher-order expressions are interpreted (no codegen), and a
+    textually-inlined tokenizer would re-run per shingle position —
+    O(n^2) per document (measured 50.9s vs 4s for 60k docs). The
+    single-element ``transform(array(toks), ws -> ...)`` trick gives the
+    lambda a bound variable without needing an intermediate column.
+    """
+    toks = f"filter({TOKENIZE_EXPR.format(col=col)}, t -> t != '')"
+    return (
+        f"element_at(transform(array({toks}), ws -> "
+        f"CASE WHEN size(ws) < {k} THEN array() ELSE {body} END), 1)"
+    )
+
+
 def shingle_strings(col: str = "text", k: int = 5) -> Column:
     """Word k-gram strings (space-joined). Used by oracles and tests;
     the pipeline uses :func:`shingles` (hashed) to keep rows narrow."""
-    toks = f"filter({TOKENIZE_EXPR.format(col=col)}, t -> t != '')"
-    return F.expr(
-        f"CASE WHEN size({toks}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {k} + 1), "
-        f"i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+    body = (
+        f"transform(sequence(1, size(ws) - {k} + 1), "
+        f"i -> concat_ws(' ', slice(ws, i, {k})))"
     )
+    return F.expr(_bind_tokens(col, body, k))
 
 
 def shingles(col: str = "text", k: int = 5) -> Column:
@@ -54,12 +70,11 @@ def shingles(col: str = "text", k: int = 5) -> Column:
     content hash) — the analog of the reference treating uninomials as
     exact-match-only by default (`/root/reference/README.md:46-47`).
     """
-    toks = f"filter({TOKENIZE_EXPR.format(col=col)}, t -> t != '')"
-    return F.expr(
-        f"CASE WHEN size({toks}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {k} + 1), "
-        f"i -> xxhash64(concat_ws(' ', slice({toks}, i, {k})))) END"
+    body = (
+        f"transform(sequence(1, size(ws) - {k} + 1), "
+        f"i -> xxhash64(concat_ws(' ', slice(ws, i, {k}))))"
     )
+    return F.expr(_bind_tokens(col, body, k))
 
 
 def char_shingles(col: str = "text", k: int = 9) -> Column:

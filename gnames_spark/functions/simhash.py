@@ -36,18 +36,19 @@ def simhash_array(token_hash_lists: list[np.ndarray]) -> np.ndarray:
     flat = np.concatenate(
         [np.asarray(t, dtype=np.int64) for t, sz in zip(token_hash_lists, sizes) if sz > 0]
     )
-    # bits: (total_tokens, 64) — little-endian bit order is fine as long
-    # as it is consistent between hashing and chunk extraction.
-    as_u64 = flat.view(np.uint64)
-    bits = ((as_u64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    contrib = 2 * bits - 1  # ±1
+    # bits: (total_tokens, 64) uint8 via unpackbits — little-endian bit
+    # order, consistent with the chunk extraction in simhash_join.py.
+    # (The naive shift-based (N,64) int32 expansion + ±1 contrib arrays
+    # measured 23s for 60k docs; this form runs in a few seconds.)
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     ne_sizes = sizes[nonempty]
     offsets = np.zeros(len(ne_sizes), dtype=np.int64)
     np.cumsum(ne_sizes[:-1], out=offsets[1:])
-    sums = np.add.reduceat(contrib, offsets, axis=0)  # (ne_docs, 64)
-    sign_bits = (sums >= 0).astype(np.uint64)
-    packed = (sign_bits * _BIT_WEIGHTS[None, :]).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = packed.view(np.int64)
+    counts = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)  # ones per bit
+    # sign of Σ(2b-1) = 2*count - n  →  bit set iff 2*count >= n
+    sign_bits = (2 * counts >= ne_sizes[:, None]).astype(np.uint8)
+    packed = np.packbits(sign_bits, axis=1, bitorder="little")
+    out[nonempty] = packed.view(np.int64).ravel()
     return out
 
 

@@ -75,8 +75,25 @@ class DedupPipeline:
             df, res = self.io.write_or_reuse(self.spark, name, build, partition_by)
             self.metrics.record(name, res.rows, res.secs, reused=res.reused)
             return df
-        df = build()
+        # no checkpoint store: persist + materialize so downstream stages
+        # (each stage is consumed 2-4x) never recompute upstream work —
+        # the in-memory analog of the checkpoint write
+        import time as _time
+
+        t0 = _time.monotonic()
+        df = build().persist()
+        rows = df.count()
+        self.metrics.record(name, rows, _time.monotonic() - t0)
         return df
+
+    def _record_overflow(self, name: str, overflow: DataFrame) -> None:
+        """Hot-bucket truncation is NEVER silent (north_rule / SURVEY §4
+        P5): record how many buckets were dropped and how many docs they
+        held — the analog of the reference logging skipped-record counts."""
+        row = overflow.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs")
+        ).collect()[0]
+        self.metrics.record(name, int(row["n"]), 0.0, dropped_docs=int(row["docs"]))
 
     # -- stages --------------------------------------------------------
     def prepare_docs(self, pages: DataFrame) -> DataFrame:
@@ -134,14 +151,17 @@ class DedupPipeline:
             lsh_pairs, lsh_overflow = lsh_candidates(
                 nonempty.select("doc_id", "minhash"), cfg
             )
+            self._record_overflow("lsh_overflow_buckets", lsh_overflow)
             branches = [exact, lsh_pairs.select("doc_a", "doc_b", "method")]
             if self.enable_simhash:
-                sim_pairs, _ = simhash_candidates(
+                sim_pairs, sim_overflow = simhash_candidates(
                     nonempty.select("doc_id", "simhash"), cfg
                 )
+                self._record_overflow("simhash_overflow_chunks", sim_overflow)
                 branches.append(sim_pairs.select("doc_a", "doc_b", "method"))
             if self.enable_substring:
-                anc_pairs, _ = anchor_candidates(nonempty, cfg)
+                anc_pairs, anc_overflow = anchor_candidates(nonempty, cfg)
+                self._record_overflow("anchor_overflow", anc_overflow)
                 branches.append(anc_pairs.select("doc_a", "doc_b", "method"))
             out = branches[0]
             for b in branches[1:]:

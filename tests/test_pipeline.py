@@ -13,12 +13,18 @@ from gnames_spark.pipeline import DedupPipeline
 
 CFG = DedupConfig(shuffle_partitions=8, bucket_cap=300)
 SEED = 11
-N = 300
+N = 250
 
 
 @pytest.fixture(scope="module")
 def pages(spark):
     return generate_pages(spark, N, seed=SEED).cache()
+
+
+@pytest.fixture(scope="module")
+def run_nockpt(spark, pages):
+    """One shared no-checkpoint pipeline run."""
+    return DedupPipeline(spark, CFG).run(pages)
 
 
 def _components_dict(res):
@@ -28,9 +34,8 @@ def _components_dict(res):
 
 
 class TestPipeline:
-    def test_end_to_end_no_checkpoint(self, spark, pages):
-        pipe = DedupPipeline(spark, CFG)
-        res = pipe.run(pages)
+    def test_end_to_end_no_checkpoint(self, spark, pages, run_nockpt):
+        res = run_nockpt
         comps = _components_dict(res)
         assert len(comps) == N
         n_clusters = len(set(comps.values()))
@@ -45,8 +50,9 @@ class TestPipeline:
         pipe1 = DedupPipeline(spark, CFG, checkpoint_root=root)
         res1 = pipe1.run(pages)
         c1 = _components_dict(res1)
-        stages = [m.stage for m in pipe1.metrics.stages]
-        assert stages == ["docs", "signatures", "candidate_pairs", "verified_pairs", "components"]
+        core = ["docs", "signatures", "candidate_pairs", "verified_pairs", "components"]
+        stages = [m.stage for m in pipe1.metrics.stages if m.stage in core]
+        assert stages == core
         assert not any(m.reused for m in pipe1.metrics.stages)
 
         # simulate kill after stage 2: wipe downstream stages
@@ -60,37 +66,37 @@ class TestPipeline:
         assert not reused["verified_pairs"] and not reused["components"]
         assert c1 == c2  # identical final components (order-insensitive)
 
-    def test_config_change_invalidates(self, spark, pages, tmp_path):
+    def test_config_change_invalidates(self, spark, tmp_path):
+        small = generate_pages(spark, 60, seed=SEED)
         root = str(tmp_path / "ckpt2")
-        DedupPipeline(spark, CFG, checkpoint_root=root).run(pages)
+        DedupPipeline(spark, CFG, checkpoint_root=root).run(small)
         other = CFG.with_overrides(shingle_k=7)
         pipe2 = DedupPipeline(spark, other, checkpoint_root=root)
-        pipe2.run(pages)
+        pipe2.run(small)
         assert not any(m.reused for m in pipe2.metrics.stages)
 
-    def test_manifest_contents(self, spark, pages, tmp_path):
+    def test_manifest_and_metrics(self, spark, tmp_path):
+        small = generate_pages(spark, 60, seed=SEED)
         root = str(tmp_path / "ckpt3")
         pipe = DedupPipeline(spark, CFG, checkpoint_root=root)
-        pipe.run(pages)
+        pipe.run(small)
         with open(os.path.join(root, "signatures", "_manifest.json")) as f:
             m = json.load(f)
         assert m["complete"] and m["config_hash"] == CFG.config_hash()
         assert m["rows"] > 0 and "minhash" in m["schema"]
-
-    def test_metrics_throughput_recorded(self, spark, pages, tmp_path):
-        root = str(tmp_path / "ckpt4")
-        pipe = DedupPipeline(spark, CFG, checkpoint_root=root)
-        pipe.run(pages)
-        docs_m = [m for m in pipe.metrics.stages if m.stage == "docs"][0]
+        docs_m = [x for x in pipe.metrics.stages if x.stage == "docs"][0]
         assert docs_m.docs_per_sec > 0
         out = json.loads(pipe.metrics.to_json())
-        assert out["run_id"] and len(out["stages"]) == 5
+        core = {"docs", "signatures", "candidate_pairs", "verified_pairs", "components"}
+        assert out["run_id"]
+        assert core <= {m["stage"] for m in out["stages"]}
+        # overflow observability: truncation metrics are always present
+        assert any(m["stage"] == "lsh_overflow_buckets" for m in out["stages"])
 
-    def test_exact_members_inherit_component(self, spark, pages):
+    def test_exact_members_inherit_component(self, spark, pages, run_nockpt):
         """Non-representative exact copies land in the same component as
         their representative (the early-exit cascade must not lose them)."""
-        pipe = DedupPipeline(spark, CFG)
-        res = pipe.run(pages)
+        res = run_nockpt
         docs = res["docs"].select("doc_id", "content_sha")
         comps = res["components"]
         j = docs.join(comps, "doc_id")

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests — the scale contract, not just results.
+
+Pins: pushdown reaches parquet, scans prune columns, dims broadcast,
+Python appears only as ArrowEvalPython (never BatchEvalPython), and the
+JVM kernels stay inside WholeStageCodegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnames_spark.config import DedupConfig
+from gnames_spark.functions.minhash import minhash
+from gnames_spark.functions.shingles import shingle_set
+from gnames_spark.operators.lsh import lsh_candidates
+from gnames_spark.operators.verify import verify_pairs
+from gnames_spark.plans.audit import (
+    has_pushed_filter,
+    has_python_row_udf,
+    read_schema_columns,
+    uses_broadcast_join,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+CFG = DedupConfig(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_scan(self, spark, docs):
+        q = docs.filter(F.col("lang") == "en").select("doc_id")
+        assert has_pushed_filter(q, "lang")
+
+    def test_column_pruning(self, spark, docs):
+        q = docs.select("doc_id", "lang").filter(F.col("lang") == "en")
+        scans = read_schema_columns(q)
+        assert scans and all("text" not in cols for cols in scans), scans
+
+    def test_id_point_lookup_pushed(self, spark, docs):
+        q = docs.filter(F.col("doc_id") == 42)
+        assert has_pushed_filter(q, "doc_id")
+
+
+class TestJoinStrategies:
+    def test_dim_join_broadcasts(self, spark):
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        c = spark.read.parquet(f"{SF}/customer.parquet")
+        q = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        assert uses_broadcast_join(q)
+
+    def test_semi_join_broadcasts_small_keyset(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        keys = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter("o_orderstatus = 'F'")
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        q = li.join(F.broadcast(keys), "l_orderkey", "left_semi")
+        assert uses_broadcast_join(q)
+
+
+class TestPythonBoundary:
+    def test_no_row_python_anywhere_in_pipeline(self, spark, docs):
+        """The only Python in the plan is Arrow-vectorized (input_hint:
+        'no per-row Python')."""
+        sets = docs.select("doc_id", shingle_set("text", 3).alias("shingle_set"))
+        sigs = sets.filter(F.size("shingle_set") > 0).select(
+            "doc_id", minhash("shingle_set", 32, 42).alias("minhash")
+        )
+        cands, _ = lsh_candidates(sigs, CFG)
+        ver = verify_pairs(cands, sets, CFG, set_col="shingle_set")
+        assert not has_python_row_udf(ver)
+
+    def test_shingling_is_jvm_only(self, spark, docs):
+        """Shingle + Jaccard verification contains NO Python at all —
+        pure whole-stage-codegen."""
+        from gnames_spark.plans.audit import physical_plan
+
+        sets = docs.select("doc_id", shingle_set("text", 3).alias("shingle_set"))
+        plan = physical_plan(sets)
+        assert "EvalPython" not in plan
+        assert whole_stage_codegen_spans(sets) >= 1
