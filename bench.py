@@ -28,6 +28,18 @@ def _bench_queries(spark, sf_dir):
     from gnames_spark.pipeline import DedupPipeline
     from pyspark.sql import functions as F
 
+    # warm up JVM + Python UDF workers off the clock (one tiny Arrow job)
+    warm = spark.range(256).toDF("x")
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    warm.select(_warm("x")).count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
     qs = entry.queries()
     picked = [
         "dedup_minhash_lsh",

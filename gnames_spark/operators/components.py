@@ -40,7 +40,12 @@ def _normalize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Attach every neighbor v > u to min(Γ(u) ∪ {u})."""
+    """Attach every neighbor v > u to min(Γ(u) ∪ {u}).
+
+    No dedup here: duplicate edges don't change any min() downstream,
+    and small-star dedups once at the end of the round — one shuffle
+    saved per iteration.
+    """
     nb = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (
         nb.groupBy("src")
@@ -52,13 +57,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Attach every smaller neighbor (and u itself) to min(Γ(u))."""
-    e = _normalize(edges)  # src > dst everywhere
+    """Attach every smaller neighbor (and u itself) to min(Γ(u));
+    output is canonical (src > dst, distinct)."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
     mins = e.groupBy("src").agg(F.min("dst").alias("m"))
     with_self = e.select("src", "dst").union(mins.select("src", F.col("src").alias("dst")))
     return (
@@ -90,19 +97,25 @@ def connected_components(
     no edge are absent — callers attach singletons with
     ``all_components``.
     """
+    # localCheckpoint EVERY round is load-bearing: it truncates the
+    # *logical plan*, which otherwise grows ~6x per iteration (the
+    # star ops nest unions+joins of the previous round's plan) and
+    # blows up plan stringification/analysis after ~10 rounds.
     e = _normalize(edges)
     if checkpoint:
         e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iterations):
         e = _small_star(_large_star(e))
         if checkpoint:
             e = e.localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
-    else:
+    if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
     # e is now a star forest: (member, root). Roots map to themselves.
     members = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("component_id"))

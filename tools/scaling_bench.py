@@ -69,16 +69,28 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
-    r_small = run_level(n_docs, small)
-    r_big = run_level(n_docs, big)
+    # interleave trials and take the min per level: this box is a shared
+    # VM with heavy run-to-run noise (identical 8-core jobs measured
+    # 49.8s and 109.9s an hour apart); min-of-interleaved is the
+    # standard noisy-host protocol
+    runs_small, runs_big = [], []
+    for t in range(trials):
+        runs_small.append(run_level(n_docs, small))
+        runs_big.append(run_level(n_docs, big))
+    r_small = min(runs_small, key=lambda r: r["secs"])
+    r_big = min(runs_big, key=lambda r: r["secs"])
     speedup = r_small["secs"] / r_big["secs"]
     efficiency = speedup / (big / small)
     out = {
         "job": "dedup core (signatures + LSH + simhash + verify + components)",
         "n_docs": n_docs,
+        "trials": trials,
         "small": r_small,
         "big": r_big,
+        "all_small_secs": [r["secs"] for r in runs_small],
+        "all_big_secs": [r["secs"] for r in runs_big],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "identical_output": r_small["n_components"] == r_big["n_components"],
