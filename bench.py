@@ -28,16 +28,15 @@ def _bench_queries(spark, sf_dir):
     from gnames_spark.pipeline import DedupPipeline
     from pyspark.sql import functions as F
 
-    # warm up JVM + Python UDF workers off the clock (one tiny Arrow job)
-    warm = spark.range(256).toDF("x")
-    from pyspark.sql import types as T
-    import pandas as pd
+    # warm up JVM + Python UDF workers off the clock (one tiny Arrow job);
+    # reuse a library kernel so no local type hints are needed (string
+    # annotations from `from __future__ import annotations` don't resolve
+    # inside pandas_udf inference)
+    from gnames_spark.functions.shingles import token_hashes
+    from gnames_spark.functions.simhash import simhash
 
-    @F.pandas_udf(T.LongType())
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    warm.select(_warm("x")).count()
+    warm = spark.range(256).select(F.concat(F.lit("warm up text "), F.col("id")).alias("text"))
+    warm.select(simhash(token_hashes("text"))).count()
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     qs = entry.queries()

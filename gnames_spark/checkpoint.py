@@ -73,7 +73,11 @@ class ParquetCheckpointIO:
         t0 = time.monotonic()
         stage_dir = os.path.join(self.root, stage)
         tmp = os.path.join(stage_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("overwrite")
+        # dictionary encoding off: checkpointed columns are dominated by
+        # near-unique 64-bit hashes (bands, signatures, ids) that thrash
+        # the dictionary builder before falling back (measured 75s → 34s
+        # writing a 36M-hash array column at 120k docs)
+        writer = df.write.mode("overwrite").option("parquet.enable.dictionary", "false")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)

@@ -25,17 +25,15 @@ from pyspark.sql import types as T
 _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
 
-def simhash_array(token_hash_lists: list[np.ndarray]) -> np.ndarray:
-    """int64 SimHash per doc for a batch of token-hash arrays."""
-    n_docs = len(token_hash_lists)
-    sizes = np.fromiter((len(t) for t in token_hash_lists), dtype=np.int64, count=n_docs)
+def simhash_flat(flat_hashes: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """int64 SimHash per doc from a flat token-hash array + per-doc sizes.
+    (Core kernel, shared with functions/sigkernel.py.)"""
+    n_docs = len(sizes)
     out = np.zeros(n_docs, dtype=np.int64)
     nonempty = sizes > 0
     if not nonempty.any():
         return out
-    flat = np.concatenate(
-        [np.asarray(t, dtype=np.int64) for t, sz in zip(token_hash_lists, sizes) if sz > 0]
-    )
+    flat = np.ascontiguousarray(flat_hashes).view(np.uint64)
     # bits: (total_tokens, 64) uint8 via unpackbits — little-endian bit
     # order, consistent with the chunk extraction in simhash_join.py.
     # (The naive shift-based (N,64) int32 expansion + ±1 contrib arrays
@@ -56,6 +54,18 @@ def simhash_array(token_hash_lists: list[np.ndarray]) -> np.ndarray:
     packed = np.packbits(sign_bits, axis=1, bitorder="little")
     out[nonempty] = packed.view(np.int64).ravel()
     return out
+
+
+def simhash_array(token_hash_lists: list[np.ndarray]) -> np.ndarray:
+    """int64 SimHash per doc for a batch of token-hash arrays."""
+    n_docs = len(token_hash_lists)
+    sizes = np.fromiter((len(t) for t in token_hash_lists), dtype=np.int64, count=n_docs)
+    if not (sizes > 0).any():
+        return np.zeros(n_docs, dtype=np.int64)
+    flat = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t, sz in zip(token_hash_lists, sizes) if sz > 0]
+    )
+    return simhash_flat(flat, sizes)
 
 
 @F.pandas_udf(T.LongType())

@@ -58,21 +58,28 @@ def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Dat
     return kept, overflow
 
 
-def candidate_pairs(buckets: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
-    """Self-join docs sharing an LSH bucket → (doc_a < doc_b, method)."""
+def candidate_pairs(
+    buckets: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", dedup: bool = True
+) -> DataFrame:
+    """Self-join docs sharing an LSH bucket → (doc_a < doc_b, method).
+
+    ``dedup=False`` skips the cross-band dropDuplicates shuffle — used by
+    the pipeline, whose candidate-union stage ends in a per-pair groupBy
+    that dedups all branches at once (one shuffle instead of four)."""
     kept = buckets.repartition(cfg.shuffle_partitions, "band", "bucket_hash")
     a = kept.alias("a")
     b = kept.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "bucket_hash"], "inner")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("method", F.lit("lsh"))
     )
+    if dedup:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    return pairs.withColumn("method", F.lit("lsh"))
 
 
 def lsh_candidates(

@@ -36,12 +36,14 @@ def simhash_chunks(simhashes: DataFrame, cfg: DedupConfig, id_col: str = "doc_id
 
 
 def simhash_candidates(
-    simhashes: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+    simhashes: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", dedup: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_id, simhash) → (pairs with hamming <= d, overflow stats).
 
     Pairs arrive pre-verified: the popcount filter is exact, so the
     `hamming` column is final (no later join-back needed).
+    ``dedup=False`` skips the cross-chunk dropDuplicates shuffle (the
+    pipeline's candidate union dedups all branches in one groupBy).
     """
     chunks = simhash_chunks(simhashes, cfg, id_col)
     counts = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("n_docs"))
@@ -62,7 +64,7 @@ def simhash_candidates(
             F.col(f"b.{id_col}").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("method", F.lit("simhash"))
     )
-    return pairs, overflow
+    if dedup:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    return pairs.withColumn("method", F.lit("simhash")), overflow

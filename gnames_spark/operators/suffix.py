@@ -127,6 +127,17 @@ def anchor_candidates(
     anchors = shingle_sets.select(
         id_col, F.explode(set_col).alias("anchor")
     ).filter(F.pmod(F.col("anchor"), F.lit(cfg.anchor_mod)) == 0)
+    return anchor_pairs_from_anchors(anchors, cfg, id_col)
+
+
+def anchor_pairs_from_anchors(
+    anchors: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", dedup: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, anchor) posting list → (candidate pairs, overflow stats).
+    Used directly by the pipeline, whose fused signature kernel emits the
+    anchor sample as a column (functions/sigkernel.py). ``dedup=False``
+    skips the cross-anchor dropDuplicates shuffle (the pipeline's
+    candidate union dedups all branches in one groupBy)."""
     counts = anchors.groupBy("anchor").agg(F.count("*").alias("n_docs"))
     overflow = counts.filter(F.col("n_docs") > cfg.bucket_cap)
     kept = anchors.join(overflow.select("anchor"), "anchor", "left_anti").repartition(
@@ -137,10 +148,10 @@ def anchor_candidates(
         a.join(b, "anchor", "inner")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("method", F.lit("anchor"))
     )
-    return pairs, overflow
+    if dedup:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    return pairs.withColumn("method", F.lit("anchor")), overflow
 
 
 def substring_verify(

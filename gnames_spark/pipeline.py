@@ -30,17 +30,16 @@ from pyspark.sql import functions as F
 from gnames_spark.checkpoint import ParquetCheckpointIO
 from gnames_spark.config import DedupConfig
 from gnames_spark.functions.extraction import extract_text
-from gnames_spark.functions.minhash import minhash
-from gnames_spark.functions.shingles import shingle_set, token_hashes
-from gnames_spark.functions.simhash import simhash
+from gnames_spark.functions.sigkernel import make_shingle_set_udf, make_signature_udf
 from gnames_spark.metrics import MetricsCollector
 from gnames_spark.operators.components import all_components, connected_components
 from gnames_spark.operators.exact import distinct_content, exact_dup_edges, with_content_sha
-from gnames_spark.operators.lsh import lsh_candidates
+from gnames_spark.operators.lsh import candidate_pairs as lsh_bucket_pairs
+from gnames_spark.operators.lsh import capped_buckets
 from gnames_spark.operators.representatives import cluster_summary, select_representatives
 from gnames_spark.operators.scoring import pair_score
 from gnames_spark.operators.simhash_join import simhash_candidates
-from gnames_spark.operators.suffix import anchor_candidates, substring_verify
+from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
 from gnames_spark.operators.verify import verify_pairs
 
 
@@ -89,7 +88,11 @@ class DedupPipeline:
     def _record_overflow(self, name: str, overflow: DataFrame) -> None:
         """Hot-bucket truncation is NEVER silent (north_rule / SURVEY §4
         P5): record how many buckets were dropped and how many docs they
-        held — the analog of the reference logging skipped-record counts."""
+        held — the analog of the reference logging skipped-record counts.
+
+        The overflow DF is persisted first: it is consumed twice (this
+        stats collect + the branch's anti-join) and is tiny."""
+        overflow = overflow.persist()
         row = overflow.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs")
         ).collect()[0]
@@ -117,7 +120,10 @@ class DedupPipeline:
         return self._stage("docs", build)
 
     def signatures(self, docs: DataFrame) -> DataFrame:
-        """One row per DISTINCT content: shingle set + minhash + simhash.
+        """One row per DISTINCT content: LSH band hashes + simhash +
+        shingle count + anchor sample, all from ONE fused Arrow kernel
+        (functions/sigkernel.py — no interpreted JVM lambdas, no wide
+        shingle arrays stored).
 
         Exact duplicates are signed once (early-exit cascade) — at web
         scale this is a huge saving (Common Crawl is ~50%+ exact dups).
@@ -126,14 +132,10 @@ class DedupPipeline:
 
         def build():
             reps = distinct_content(docs)
+            sig = make_signature_udf(cfg)
             return (
-                reps.select("doc_id", "text")
-                .withColumn("shingle_set", shingle_set("text", cfg.shingle_k))
-                .withColumn(
-                    "minhash", minhash("shingle_set", cfg.num_perms, cfg.minhash_seed)
-                )
-                .withColumn("simhash", simhash(token_hashes("text")))
-                .drop("text")
+                reps.select("doc_id", sig(F.col("text")).alias("sig"))
+                .select("doc_id", "sig.bands", "sig.simhash", "sig.n_shingles", "sig.anchors")
                 .withColumn("config_hash", F.lit(cfg.config_hash()))
             )
 
@@ -147,20 +149,25 @@ class DedupPipeline:
 
         def build():
             exact = exact_dup_edges(docs).select("doc_a", "doc_b", "method")
-            nonempty = signatures.filter(F.size("shingle_set") > 0)
-            lsh_pairs, lsh_overflow = lsh_candidates(
-                nonempty.select("doc_id", "minhash"), cfg
+            nonempty = signatures.filter(F.col("n_shingles") > 0)
+            buckets = nonempty.select(
+                "doc_id", F.posexplode("bands").alias("band", "bucket_hash")
             )
+            kept, lsh_overflow = capped_buckets(buckets, cfg)
+            lsh_pairs = lsh_bucket_pairs(kept, cfg, dedup=False)
             self._record_overflow("lsh_overflow_buckets", lsh_overflow)
             branches = [exact, lsh_pairs.select("doc_a", "doc_b", "method")]
             if self.enable_simhash:
                 sim_pairs, sim_overflow = simhash_candidates(
-                    nonempty.select("doc_id", "simhash"), cfg
+                    nonempty.select("doc_id", "simhash"), cfg, dedup=False
                 )
                 self._record_overflow("simhash_overflow_chunks", sim_overflow)
                 branches.append(sim_pairs.select("doc_a", "doc_b", "method"))
             if self.enable_substring:
-                anc_pairs, anc_overflow = anchor_candidates(nonempty, cfg)
+                anchors = nonempty.select("doc_id", F.explode("anchors").alias("anchor"))
+                anc_pairs, anc_overflow = anchor_pairs_from_anchors(
+                    anchors, cfg, dedup=False
+                )
                 self._record_overflow("anchor_overflow", anc_overflow)
                 branches.append(anc_pairs.select("doc_a", "doc_b", "method"))
             out = branches[0]
@@ -185,7 +192,21 @@ class DedupPipeline:
                 "jaccard", F.lit(1.0)
             ).withColumn("passed", F.lit(True))
             rest = candidates.filter(F.col("method") != "exact")
-            ver = verify_pairs(rest, signatures, cfg, set_col="shingle_set")
+            # join-back hydration: recompute shingle sets (same kernel →
+            # identical hashes) for ONLY the docs that appear in a pair —
+            # cheaper at every scale than storing/shuffling the wide
+            # shingle arrays for the whole corpus
+            participants = (
+                rest.select(F.col("doc_a").alias("doc_id"))
+                .union(rest.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            set_udf = make_shingle_set_udf(cfg)
+            sets = (
+                docs.join(participants, "doc_id", "left_semi")
+                .select("doc_id", set_udf(F.col("text")).alias("shingle_set"))
+            )
+            ver = verify_pairs(rest, sets, cfg, set_col="shingle_set")
             if self.enable_substring:
                 # pairs failing Jaccard get the substring check (PartialExact)
                 failed = ver.filter(~F.col("passed")).select("doc_a", "doc_b")

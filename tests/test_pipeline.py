@@ -83,7 +83,7 @@ class TestPipeline:
         with open(os.path.join(root, "signatures", "_manifest.json")) as f:
             m = json.load(f)
         assert m["complete"] and m["config_hash"] == CFG.config_hash()
-        assert m["rows"] > 0 and "minhash" in m["schema"]
+        assert m["rows"] > 0 and "bands" in m["schema"]
         docs_m = [x for x in pipe.metrics.stages if x.stage == "docs"][0]
         assert docs_m.docs_per_sec > 0
         out = json.loads(pipe.metrics.to_json())
