@@ -134,6 +134,22 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_kernel_pairs(spark, sf_dir):
+    """Same exact all-pairs Jaccard, but through the PRODUCTION fused
+    Arrow signature kernel (functions/sigkernel.py) instead of the JVM
+    expression path — puts the pipeline's actual shingle/tokenize code
+    under the driver's value-hash gate. Jaccard is invariant under the
+    kernel's hash relabeling, so the DuckDB string-shingle oracle values
+    must match exactly."""
+    from gnames_spark.functions.sigkernel import make_shingle_set_udf
+
+    su = make_shingle_set_udf(CFG.with_overrides(shingle_k=K))
+    sets = _docs(spark, sf_dir).select("doc_id", su(F.col("text")).alias("shingle_set"))
+    return exact_jaccard_pairs(sets, TAU, set_col="shingle_set").withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash/LSH candidate generation + exact verification (M2).
 
@@ -485,7 +501,7 @@ def q_u3_set_relationship(spark, sf_dir):
 def q_f5_prefix_like(spark, sf_dir):
     """F5: prefix LIKE predicate (pushed to the scan)."""
     p = _tpch(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").like("a%")).select("p_partkey", "p_name")
+    return p.filter(F.col("p_name").like("b%")).select("p_partkey", "p_name")
 
 
 def q_q1_pricing_summary(spark, sf_dir):
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_shingle_stats": q_dedup_shingle_stats,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_kernel_pairs": q_dedup_kernel_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
@@ -587,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_jaccard_pairs": _DK_JACCARD_PAIRS,
+        "dedup_kernel_pairs": _DK_JACCARD_PAIRS,
         "dedup_minhash_lsh": _DK_JACCARD_PAIRS,
         "dedup_components": _DK_COMPONENTS,
         "dedup_representatives": f"""
@@ -787,7 +805,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "f5_prefix_like": """
-            SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'a%'
+            SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'b%'
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

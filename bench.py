@@ -77,7 +77,25 @@ def _bench_queries(spark, sf_dir):
     res["representatives"].filter("is_representative").count()
     pipeline_sec = round(time.monotonic() - t0, 3)
     timings["dedup_full_pipeline"] = pipeline_sec
-    return timings, n_docs, pipeline_sec
+
+    # throughput at amortizing scale: the sf corpora are small enough
+    # (500-5000 docs) that the pipeline number above is dominated by
+    # fixed per-job costs; a 60k-page synthetic corpus (same generator
+    # as the scaling bench) shows the sustained docs/sec the engine
+    # actually delivers
+    from gnames_spark.corpus import generate_pages
+
+    n_syn = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "60000"))
+    pages = generate_pages(spark, n_syn, seed=42, partitions=cfg.shuffle_partitions)
+    pages.cache().count()  # corpus generation off the clock
+    t0 = time.monotonic()
+    syn = DedupPipeline(spark, cfg, enable_substring=False).run(pages)
+    syn["components"].count()
+    syn_sec = round(time.monotonic() - t0, 3)
+    pages.unpersist()
+    timings["dedup_pipeline_60k_synthetic"] = syn_sec
+    syn_dps = round(n_syn / syn_sec, 1) if syn_sec else None
+    return timings, n_docs, pipeline_sec, syn_dps
 
 
 def main() -> None:
@@ -88,7 +106,7 @@ def main() -> None:
 
     spark = get_spark(app_name="gnames_spark_bench", master=f"local[{cpus}]")
     try:
-        timings, n_docs, pipeline_sec = _bench_queries(spark, sf_dir)
+        timings, n_docs, pipeline_sec, syn_dps = _bench_queries(spark, sf_dir)
     finally:
         spark.stop()
 
@@ -100,6 +118,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "synthetic_60k_docs_per_sec": syn_dps,
         "cpus": int(cpus),
     }
 

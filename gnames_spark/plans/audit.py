@@ -72,9 +72,11 @@ def has_python_row_udf(df: DataFrame) -> bool:
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of operators inside WholeStageCodegen regions. Note:
-    higher-order functions (transform/filter lambdas — the shingle
-    expressions) evaluate interpreted-but-JVM-side; they appear outside
-    codegen regions by design."""
+    higher-order functions (transform/filter lambdas) evaluate
+    interpreted-but-JVM-side and appear outside codegen regions — which
+    is exactly why the pipeline's hot path moved shingling into the
+    fused Arrow kernel (functions/sigkernel.py) and keeps the JVM
+    expressions only for tiny-scale oracle queries."""
     plan = formatted_plan(df)
     ids = set()
     for line in plan.splitlines():

@@ -32,6 +32,19 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(int(n), 4)
 
+    # shuffle/spill scratch on tmpfs when available: this sandbox has one
+    # shared /tmp disk that serializes shuffle I/O across all cores
+    # (measured: identical 8-core pipeline 110s on disk vs 70s on tmpfs);
+    # real clusters have per-node disks. Override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-scratch"
+    if local_dir:
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+        except OSError:
+            local_dir = None
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -39,12 +52,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge: verification joins carry
+        # ~2.4KB array payloads per row that SMJ would sort on both
+        # sides; SHJ builds a hash map instead (AQE still falls back to
+        # SMJ when a build side is too large)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
