@@ -150,6 +150,32 @@ def q_dedup_kernel_pairs(spark, sf_dir):
     )
 
 
+def q_x13_path_split(spark, sf_dir):
+    """X13: '|'-joined path + ranks → arrays_zip → exploded (taxon, rank)
+    rows (classification split,
+    /root/reference/pkg/extend_reconcile.go:72-82)."""
+    d = _docs(spark, sf_dir)
+    path = F.split(F.concat_ws("|", "lang", "source"), "\\|").alias("taxon")
+    ranks = F.split(F.lit("lang|source"), "\\|").alias("rank")
+    return (
+        d.select("doc_id", F.posexplode(F.arrays_zip(path, ranks)).alias("pos", "z"))
+        .select("doc_id", "pos", F.col("z.taxon").alias("taxon"), F.col("z.rank").alias("rank"))
+    )
+
+
+def q_o1_computed_sort(spark, sf_dir):
+    """O1: multi-key ordering with a computed sort expression, rank
+    materialized so the order is value-checkable (vernacular ordering
+    analog, /root/reference/internal/io/pgio/vern_query.go:90)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "n_words", F.size(F.split(F.col("text"), " "))
+    )
+    w = W.orderBy(F.asc("lang"), F.desc("n_words"), F.asc("doc_id"))
+    return d.select("doc_id", "lang", "n_words").withColumn(
+        "rank", F.row_number().over(w)
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash/LSH candidate generation + exact verification (M2).
 
@@ -203,7 +229,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 def q_dedup_substring_pairs(spark, sf_dir):
     """M5 suffix/substring pass (anchors + rolling-hash LCS >= 256 chars).
     Rows-only check (anchor hashes are xxhash64-based)."""
-    cfg = CFG.with_overrides(min_substring_len=256, anchor_mod=4)
+    cfg = CFG.with_overrides(min_substring_len=256, anchor_mod=4, min_shared_anchors=1)
     sets = _doc_shingle_sets(spark, sf_dir)
     pairs, _ = anchor_candidates(sets, cfg, set_col="shingle_set")
     docs = _docs(spark, sf_dir)
@@ -559,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shingle_stats": q_dedup_shingle_stats,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_kernel_pairs": q_dedup_kernel_pairs,
+        "x13_path_split": q_x13_path_split,
+        "o1_computed_sort": q_o1_computed_sort,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
@@ -605,6 +633,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": _DK_JACCARD_PAIRS,
         "dedup_kernel_pairs": _DK_JACCARD_PAIRS,
+        "x13_path_split": """
+            SELECT doc_id, 0 AS pos, lang AS taxon, 'lang' AS rank FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS pos, source AS taxon, 'source' AS rank FROM documents
+        """,
+        "o1_computed_sort": """
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+                   row_number() OVER (
+                     ORDER BY lang ASC, len(string_split(text, ' ')) DESC, doc_id ASC
+                   ) AS rank
+            FROM documents
+        """,
         "dedup_minhash_lsh": _DK_JACCARD_PAIRS,
         "dedup_components": _DK_COMPONENTS,
         "dedup_representatives": f"""

@@ -74,11 +74,34 @@ class DedupConfig:
 
     # substring (suffix) pass
     min_substring_len: int = 512  # chars of exact shared substring
-    anchor_mod: int = 16          # shingle hash % anchor_mod == 0 → anchor
+    anchor_mod: int = 16          # shingle hash % anchor_mod == 0 → anchor (legacy sampler)
+    # winnowing (Schleimer et al. 2003) window, in shingles: every
+    # sliding window of `winnow_window` consecutive shingles contributes
+    # its min hash as an anchor, so any shared run of >= winnow_window
+    # shingles GUARANTEES a shared anchor (the mod-sampler only catches a
+    # 512-char run with P≈1-(1-1/16)^106, and its random cross-doc
+    # collisions exploded to 1.9M candidate pairs at 120k docs).
+    # 512 chars ≈ 106 word-5-shingles > 50 → guaranteed coverage.
+    winnow_window: int = 50
 
     # skew / overload handling (analog of the reference's 100-results /
     # 20-virus truncation, /root/reference/internal/io/pgio/match_records_map.go:17-22)
     bucket_cap: int = 256         # max docs per LSH bucket; larger buckets dropped+logged
+    # anchors get a tighter cap: substring families are small (a long
+    # run shared by thousands of docs is boilerplate, which the exact
+    # and LSH branches own), while low-entropy corpora make frequent
+    # shingles with small hashes anchor hundreds of unrelated docs —
+    # the quadratic pair blow-up feeds straight into the expensive LCS
+    # kernel (reference virus overload analog: tighter 20-cap,
+    # /root/reference/internal/io/pgio/match_records_map.go:154)
+    anchor_cap: int = 64
+    # a shared run of min_substring_len chars spans >= 2*winnow_window-1
+    # shingle windows, which pins window-minima at >= 2 distinct
+    # positions — so requiring 2 shared anchors per candidate pair keeps
+    # the winnowing guarantee (up to a 2^-64 hash tie) while dropping
+    # single-shingle coincidences. Requires min_substring_len >=
+    # (2*winnow_window + shingle_k - 2) words' worth of chars; validate().
+    min_shared_anchors: int = 2
 
     # execution
     shuffle_partitions: int = 32

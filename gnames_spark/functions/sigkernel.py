@@ -158,7 +158,7 @@ def make_signature_udf(
     seeds = perm_params(cfg.num_perms, cfg.minhash_seed)
     kcoef = poly_coeffs(cfg.shingle_k, 101)
     bcoef = poly_coeffs(cfg.rows_per_band, 202)
-    b, r, amod = cfg.bands, cfg.rows_per_band, cfg.anchor_mod
+    b, r, wwin = cfg.bands, cfg.rows_per_band, cfg.winnow_window
     schema = signature_schema(include_set, include_minhash)
     empty = np.empty(0, dtype=np.int64)
 
@@ -181,9 +181,23 @@ def make_signature_udf(
                 if include_set:
                     sets.append(empty)
                 continue
-            u = np.unique(S[s : s + c])
+            seq = S[s : s + c]
+            u = np.unique(seq)
             n_sh[i] = len(u)
-            anchors.append((u[u % np.uint64(amod) == 0] >> np.uint64(1)).astype(np.int64))
+            # winnowing anchors (Schleimer et al. 2003): min hash of
+            # every sliding window of `winnow_window` consecutive
+            # shingles — a run of >= w shingles shared between two docs
+            # contains an identical window, hence a shared anchor
+            # (value-based min, position-independent). Far fewer random
+            # cross-doc collisions than mod-sampling (which emitted 1.9M
+            # candidate pairs at 120k docs).
+            if c <= wwin:
+                wins = np.array([seq.min()], dtype=np.uint64)
+            else:
+                wins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(seq, wwin).min(axis=1)
+                )
+            anchors.append((wins >> np.uint64(1)).astype(np.int64))
             if include_set:
                 sets.append((u >> np.uint64(1)).astype(np.int64))
         data = {

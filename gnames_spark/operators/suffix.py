@@ -36,31 +36,43 @@ _P1, _B1 = np.uint64(2147483647), np.uint64(1000003)      # 2^31-1
 _P2, _B2 = np.uint64(2147483629), np.uint64(100019)
 
 
-def _window_hashes(codes: np.ndarray, L: int, p: np.uint64, base: np.uint64) -> np.ndarray:
-    """Polynomial hashes of all length-L windows, mod p.
+def _pow_array(base: int, n: int, p: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^n] mod p — vectorized block doubling."""
+    pw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = 1
+    m = 1
+    while m <= n:
+        k = min(m, n + 1 - m)
+        # pw[m:m+k] = pw[0:k] * base^m  (operands < 2^31 → exact uint64)
+        pw[m : m + k] = (pw[:k] * pw[m - 1] % p) * (int(base) % p) % p
+        m *= 2
+    return pw
 
-    Fully vectorized: sliding_window_view dot-product with the power
-    vector, taking mod after the multiply so sums stay < 2^40
-    (operands < 2^31 → products < 2^62, exact in uint64). O(n*L) work
-    but pure numpy — beats the O(n) sequential-Python rolling recurrence
-    by orders of magnitude at our window sizes.
+
+def _window_hashes(codes: np.ndarray, L: int, p: np.uint64, base: np.uint64) -> np.ndarray:
+    """Polynomial hashes of all length-L windows, mod p — O(n) via
+    modular prefix sums.
+
+    P_i = Σ_{j<i} c_j·B^j (mod p); window hash
+    H_i = (P_{i+L} − P_i)·B^{-i} = Σ_{j<L} c_{i+j}·B^j (mod p),
+    position-independent. All operands < 2^31 so products stay < 2^62
+    (exact in uint64); the prefix cumsum of n terms < 2^31 stays exact
+    for n < 2^33. (Replaces an O(n·L) window-matrix form that cost
+    ~2-5 ms per 1800-char doc at L=512 — this is ~50 µs.)
     """
     n = len(codes)
     if n < L:
         return np.empty(0, dtype=np.uint64)
+    pi, bi = int(p), int(base)
     c = codes.astype(np.uint64) % p
-    powers = np.empty(L, dtype=np.uint64)
-    acc = 1
-    for j in range(L - 1, -1, -1):  # base^(L-1-j) mod p
-        powers[j] = acc
-        acc = (acc * int(base)) % int(p)
-    windows = np.lib.stride_tricks.sliding_window_view(c, L)
-    out = np.empty(n - L + 1, dtype=np.uint64)
-    chunk = max(1, (8 << 20) // (L * 8))  # ~8MB work buffer
-    for s in range(0, n - L + 1, chunk):
-        block = windows[s : s + chunk]
-        out[s : s + chunk] = ((block * powers[None, :]) % p).sum(axis=1) % p
-    return out
+    bpow = _pow_array(bi, n, pi)
+    binv_pow = _pow_array(pow(bi, pi - 2, pi), n, pi)  # B^{-i} mod p
+    terms = (c * bpow[:n]) % p            # < 2^31 each
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(terms, out=pref[1:])        # exact: n·2^31 < 2^64
+    pref %= p
+    diff = (pref[L : n + 1] + p - pref[: n - L + 1]) % p
+    return (diff * binv_pow[: n - L + 1]) % p
 
 
 def _common_window(a_codes: np.ndarray, b_codes: np.ndarray, L: int, a: str, b: str) -> bool:
@@ -139,7 +151,7 @@ def anchor_pairs_from_anchors(
     skips the cross-anchor dropDuplicates shuffle (the pipeline's
     candidate union dedups all branches in one groupBy)."""
     counts = anchors.groupBy("anchor").agg(F.count("*").alias("n_docs"))
-    overflow = counts.filter(F.col("n_docs") > cfg.bucket_cap)
+    overflow = counts.filter(F.col("n_docs") > cfg.anchor_cap)
     kept = anchors.join(overflow.select("anchor"), "anchor", "left_anti").repartition(
         cfg.shuffle_partitions, "anchor"
     )
@@ -149,7 +161,18 @@ def anchor_pairs_from_anchors(
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
     )
-    if dedup:
+    if cfg.min_shared_anchors > 1:
+        # >= min_substring_len shared chars guarantees >= 2 distinct
+        # winnow anchors (see config); single shared anchors are
+        # overwhelmingly shingle coincidences in low-entropy text and
+        # would flood the LCS verifier (dedups the pair as a side effect)
+        pairs = (
+            pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("_n_shared"))
+            .filter(F.col("_n_shared") >= cfg.min_shared_anchors)
+            .drop("_n_shared")
+        )
+    elif dedup:
         pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     return pairs.withColumn("method", F.lit("anchor")), overflow
 

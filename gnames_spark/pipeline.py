@@ -173,10 +173,15 @@ class DedupPipeline:
             out = branches[0]
             for b in branches[1:]:
                 out = out.unionByName(b)
-            # keep strongest method per pair (exact > suffix/anchor > lsh > simhash)
+            # keep strongest method per pair. anchor outranks lsh/simhash:
+            # the verified stage routes Jaccard-failed anchor pairs into
+            # the substring LCS check, so a pair co-detected by lsh must
+            # not lose its anchor tag (a substring dup at J<tau would
+            # silently skip LCS otherwise).
             return (
                 out.groupBy("doc_a", "doc_b")
-                .agg(F.max_by("method", F.when(F.col("method") == "exact", 3)
+                .agg(F.max_by("method", F.when(F.col("method") == "exact", 4)
+                              .when(F.col("method") == "anchor", 3)
                               .when(F.col("method") == "lsh", 2)
                               .otherwise(1)).alias("method"))
             )
@@ -208,8 +213,16 @@ class DedupPipeline:
             )
             ver = verify_pairs(rest, sets, cfg, set_col="shingle_set")
             if self.enable_substring:
-                # pairs failing Jaccard get the substring check (PartialExact)
-                failed = ver.filter(~F.col("passed")).select("doc_a", "doc_b")
+                # Jaccard-failed ANCHOR pairs get the substring check
+                # (PartialExact). Only the anchor method indicates a
+                # possible long shared run: winnowing guarantees any
+                # >= min_substring_len shared substring produced a
+                # shared anchor, so lsh/simhash-only failures cannot be
+                # substring dups — skipping them keeps the expensive
+                # LCS kernel off the boilerplate cross-pair flood.
+                failed = ver.filter(
+                    (~F.col("passed")) & (F.col("method") == "anchor")
+                ).select("doc_a", "doc_b")
                 sub = substring_verify(failed, docs, cfg).filter("passed")
                 sub_edges = sub.select(
                     "doc_a", "doc_b", F.lit("suffix").alias("method"),
