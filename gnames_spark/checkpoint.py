@@ -69,7 +69,13 @@ class ParquetCheckpointIO:
     def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> StageResult:
         """Materialize df; atomic: data lands in a tmp dir, manifest is
         written last (a crashed run leaves no valid manifest → stage
-        recomputes on resume)."""
+        recomputes on resume). Per-partition lineage (partition_id →
+        row count) is written alongside the data and summarized in the
+        manifest (north_rule: checkpoints carry per-partition lineage +
+        throughput; reference analog: per-request structured logging,
+        /root/reference/pkg/gnames_verif.go:166-173)."""
+        from gnames_spark.metrics import partition_lineage
+
         t0 = time.monotonic()
         stage_dir = os.path.join(self.root, stage)
         tmp = os.path.join(stage_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
@@ -86,7 +92,18 @@ class ParquetCheckpointIO:
             shutil.rmtree(final)
         os.replace(tmp, final)
         spark = df.sparkSession
-        rows = spark.read.parquet(final).count()
+        written = spark.read.parquet(final)
+        lineage_rows = partition_lineage(written).collect()
+        rows = sum(r["rows"] for r in lineage_rows)
+        lineage_tmp = os.path.join(stage_dir, f"_ltmp_{uuid.uuid4().hex[:8]}")
+        spark.createDataFrame(
+            [(int(r["partition_id"]), int(r["rows"])) for r in lineage_rows],
+            schema="partition_id int, rows long",
+        ).write.mode("overwrite").parquet(lineage_tmp)
+        lineage_final = os.path.join(stage_dir, "lineage")
+        if os.path.exists(lineage_final):
+            shutil.rmtree(lineage_final)
+        os.replace(lineage_tmp, lineage_final)
         secs = time.monotonic() - t0
         manifest = {
             "stage": stage,
@@ -94,6 +111,8 @@ class ParquetCheckpointIO:
             "rows": rows,
             "secs": round(secs, 3),
             "schema": df.schema.simpleString(),
+            "n_partitions": len(lineage_rows),
+            "max_partition_rows": max((r["rows"] for r in lineage_rows), default=0),
             "complete": True,
         }
         mp = self._manifest_path(stage)

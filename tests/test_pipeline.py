@@ -93,6 +93,21 @@ class TestPipeline:
         # overflow observability: truncation metrics are always present
         assert any(m["stage"] == "lsh_overflow_buckets" for m in out["stages"])
 
+    def test_checkpoint_partition_lineage(self, spark, tmp_path):
+        """Each checkpoint carries per-partition lineage rows and the
+        manifest summarizes them (north_rule: per-partition lineage +
+        metrics with every checkpoint)."""
+        small = generate_pages(spark, 60, seed=SEED)
+        root = str(tmp_path / "ckpt4")
+        DedupPipeline(spark, CFG, checkpoint_root=root).run(small)
+        lineage = spark.read.parquet(os.path.join(root, "docs", "lineage"))
+        assert set(lineage.columns) == {"partition_id", "rows"}
+        rows = lineage.agg(F.sum("rows")).collect()[0][0]
+        with open(os.path.join(root, "docs", "_manifest.json")) as f:
+            m = json.load(f)
+        assert m["rows"] == rows == 60
+        assert m["n_partitions"] >= 1 and m["max_partition_rows"] <= 60
+
     def test_exact_members_inherit_component(self, spark, pages, run_nockpt):
         """Non-representative exact copies land in the same component as
         their representative (the early-exit cascade must not lose them)."""

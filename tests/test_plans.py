@@ -62,6 +62,19 @@ class TestJoinStrategies:
         q = li.join(F.broadcast(keys), "l_orderkey", "left_semi")
         assert uses_broadcast_join(q)
 
+    def test_verify_join_avoids_sort_merge(self, spark, docs):
+        """Session prefers shuffled-hash joins: the verification joins
+        carry ~2.4KB array payloads per row that sort-merge would sort
+        on both sides (session.py preferSortMergeJoin=false)."""
+        from gnames_spark.plans.audit import physical_plan
+
+        sets = docs.select("doc_id", shingle_set("text", 3).alias("shingle_set"))
+        pairs = docs.select(F.col("doc_id").alias("doc_a")).crossJoin(
+            docs.select(F.col("doc_id").alias("doc_b"))
+        ).limit(10)
+        ver = verify_pairs(pairs, sets, CFG, set_col="shingle_set")
+        assert "SortMergeJoin" not in physical_plan(ver)
+
 
 class TestPythonBoundary:
     def test_no_row_python_anywhere_in_pipeline(self, spark, docs):
