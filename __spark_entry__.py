@@ -273,7 +273,9 @@ def q_text_token_counts(spark, sf_dir):
         f"(acc, w) -> acc + greatest(1L, cast(ceil(length(w) / 4.0) as long)))"
     )
     return d.select(
-        "doc_id", token_count("text").alias("n_tokens"), bpe.alias("n_bpe_tokens")
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
     )
 
 
@@ -694,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, len(w) AS n_tokens,
                    coalesce(list_sum(list_transform(pieces,
-                       p -> greatest(1, cast(ceil(length(p) / 4.0) AS BIGINT)))), 0)
+                       p -> greatest(1, cast(ceil(length(p) / 4.0) AS BIGINT)))), 0)::BIGINT
                        AS n_bpe_tokens
             FROM t
         """,
@@ -740,8 +742,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+                     (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -751,8 +753,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+                   sum(cast(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+                   max(cast(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
             FROM events GROUP BY 1
         """,
         "s1_semi_join": """
