@@ -23,8 +23,9 @@ from pyspark.sql import Window as W
 
 from gnames_spark.config import DedupConfig
 from gnames_spark.functions.minhash import minhash
-from gnames_spark.functions.shingles import shingle_set, shingle_strings, token_hashes, tokens
-from gnames_spark.functions.simhash import simhash
+from gnames_spark.functions.shingles import shingle_set, shingle_strings
+from gnames_spark.functions.sigkernel import make_anchor_udf
+from gnames_spark.functions.simhash import FNV_BASIS1, FNV_BASIS2, FNV_PREFIX, FNV_PRIME, make_fnv_simhash_udf
 from gnames_spark.functions.textstats import (
     STOPWORDS,
     langid_heuristic,
@@ -36,7 +37,7 @@ from gnames_spark.operators.components import all_components, connected_componen
 from gnames_spark.operators.embeddings import cosine_similarity_col, cosine_topk
 from gnames_spark.operators.lsh import lsh_candidates
 from gnames_spark.operators.simhash_join import simhash_candidates
-from gnames_spark.operators.suffix import anchor_candidates, substring_verify
+from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
 from gnames_spark.operators.verify import exact_jaccard_pairs, verify_pairs
 
 CFG = DedupConfig(shuffle_partitions=16)
@@ -84,6 +85,58 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= {TAU}
 """
+# SimHash oracle: fingerprints recomputed in pure SQL — FNV-1a 32-bit
+# (two bases, first FNV_PREFIX codepoints + length) per token, 64 per-bit
+# majority votes (tie -> bit set, matching functions/simhash.py), packed
+# to UBIGINT; pair set = brute-force all-pairs popcount(xor) <= 7.
+
+
+def _dk_fnv32(basis: int) -> str:
+    return (
+        f"list_reduce(list_prepend({basis}::UBIGINT, "
+        f"list_append(list_transform(list_slice(string_split(t, ''), 1, {FNV_PREFIX}), "
+        f"c -> ascii(c)::UBIGINT), length(t)::UBIGINT)), "
+        f"(h, c) -> ((xor(h, c)) * {FNV_PRIME}::UBIGINT) % 4294967296::UBIGINT)"
+    )
+
+
+def _dk_simhash_pairs_sql() -> str:
+    fnv64 = f"({_dk_fnv32(FNV_BASIS1)} * 4294967296::UBIGINT + {_dk_fnv32(FNV_BASIS2)})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> {j}) & (1::UBIGINT)))) "
+        f">= len(hs) THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""
+        WITH th AS (
+          SELECT doc_id, list_transform({_DK_TOKS}, t -> {fnv64}) AS hs
+          FROM documents WHERE len({_DK_TOKS}) > 0
+        ), sim AS (
+          SELECT doc_id, {bit_terms} AS s FROM th
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.s, b.s))::INTEGER AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 7
+    """
+
+
+# substring oracle: two docs share a >= 256-char substring iff they share
+# some 256-char window verbatim — enumerate every window per doc, string
+# equi-join. Exact by construction; cheap at sf0.01 (~150k windows).
+_DK_SUBSTRING_PAIRS = """
+    WITH w AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 256) AS win
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 254, 1))) AS i
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
 # transitive closure -> connected components (oracle for the
 # large-star/small-star loop), over the same jaccard edges
 _DK_COMPONENTS = f"""
@@ -215,24 +268,43 @@ def q_dedup_representatives(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """M3 SimHash Hamming-ball pairs (J9). No SQL oracle (xxhash64-based
-    fingerprints are not reproducible in DuckDB) — rows-only check;
-    exactness is pytest-gated against numpy instead."""
+    """M3 SimHash Hamming-ball pairs (J9) under a REAL DuckDB oracle:
+    fingerprints use the FNV-1a codepoint token hash (reproducible in
+    SQL — functions/simhash.py:fnv_token_hashes); the pigeonhole chunk
+    equi-join + popcount filter is the unchanged production operator
+    (operators/simhash_join.py). bucket_cap is lifted because the
+    oracle (brute-force all-pairs popcount) cannot model cap drops, so
+    the compared set is the exact Hamming-<=7 ball."""
     docs = _docs(spark, sf_dir)
-    sims = docs.select("doc_id", simhash(token_hashes("text")).alias("simhash")).filter(
-        token_count("text") > 0
+    fp = make_fnv_simhash_udf()
+    sims = docs.filter(token_count("text") > 0).select(
+        "doc_id", fp(F.col("text")).alias("simhash")
     )
-    pairs, _ = simhash_candidates(sims, CFG.with_overrides(hamming_d=7))
-    return pairs.select("doc_a", "doc_b", "hamming")
+    pairs, _ = simhash_candidates(
+        sims, CFG.with_overrides(hamming_d=7, bucket_cap=1 << 30)
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_dedup_substring_pairs(spark, sf_dir):
-    """M5 suffix/substring pass (anchors + rolling-hash LCS >= 256 chars).
-    Rows-only check (anchor hashes are xxhash64-based)."""
-    cfg = CFG.with_overrides(min_substring_len=256, anchor_mod=4, min_shared_anchors=1)
-    sets = _doc_shingle_sets(spark, sf_dir)
-    pairs, _ = anchor_candidates(sets, cfg, set_col="shingle_set")
+    """M5 substring pass under a REAL oracle: winnowing anchors (w=12
+    over word-3-shingles guarantees a shared anchor for any verbatim
+    run of >= 14 tokens — far under 256 chars at this corpus's <= 8-char
+    words) + exact double-rolling-hash window verification with direct
+    string confirmation. anchor_cap is lifted so the oracle (all
+    256-char windows string-equi-joined in DuckDB) sees the exact pair
+    set; the production pipeline keeps the cap + overflow log."""
+    cfg = CFG.with_overrides(
+        shingle_k=3,
+        min_substring_len=256,
+        winnow_window=12,
+        min_shared_anchors=1,
+        anchor_cap=1 << 30,
+    )
     docs = _docs(spark, sf_dir)
+    au = make_anchor_udf(cfg)
+    anchors = docs.select("doc_id", F.explode(au(F.col("text"))).alias("anchor"))
+    pairs, _ = anchor_pairs_from_anchors(anchors, cfg)
     return substring_verify(pairs, docs, cfg).filter("passed").select("doc_a", "doc_b")
 
 
@@ -654,7 +726,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, count(*) AS n_docs, min(doc_id) AS rep_doc
             FROM comps GROUP BY 1
         """,
-        # dedup_simhash_pairs / dedup_substring_pairs: rows-only (xxhash64)
+        "dedup_simhash_pairs": _dk_simhash_pairs_sql(),
+        "dedup_substring_pairs": _DK_SUBSTRING_PAIRS,
         "text_langid": f"""
             WITH t AS (
               SELECT {_DK_TOKS} AS w FROM documents

@@ -184,20 +184,10 @@ def make_signature_udf(
             seq = S[s : s + c]
             u = np.unique(seq)
             n_sh[i] = len(u)
-            # winnowing anchors (Schleimer et al. 2003): min hash of
-            # every sliding window of `winnow_window` consecutive
-            # shingles — a run of >= w shingles shared between two docs
-            # contains an identical window, hence a shared anchor
-            # (value-based min, position-independent). Far fewer random
+            # winnowing anchors (see winnow_anchors): far fewer random
             # cross-doc collisions than mod-sampling (which emitted 1.9M
             # candidate pairs at 120k docs).
-            if c <= wwin:
-                wins = np.array([seq.min()], dtype=np.uint64)
-            else:
-                wins = np.unique(
-                    np.lib.stride_tricks.sliding_window_view(seq, wwin).min(axis=1)
-                )
-            anchors.append((wins >> np.uint64(1)).astype(np.int64))
+            anchors.append(winnow_anchors(seq, wwin))
             if include_set:
                 sets.append((u >> np.uint64(1)).astype(np.int64))
         data = {
@@ -215,6 +205,49 @@ def make_signature_udf(
         return pd.DataFrame(data)
 
     return signature_udf
+
+
+def winnow_anchors(seq: np.ndarray, wwin: int) -> np.ndarray:
+    """Distinct winnowing anchors (window minima, value-based) of one
+    doc's in-order shingle-hash sequence, range-shifted to int64.
+
+    Guarantee (Schleimer et al. 2003, adapted): any run of >= wwin
+    consecutive shingles shared verbatim by two docs contains at least
+    one full window, whose min is identical in both — so a shared
+    substring of >= (wwin + shingle_k - 1) tokens always yields a
+    shared anchor."""
+    if len(seq) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(seq) <= wwin:
+        wins = np.array([seq.min()], dtype=np.uint64)
+    else:
+        wins = np.unique(np.lib.stride_tricks.sliding_window_view(seq, wwin).min(axis=1))
+    return (wins >> np.uint64(1)).astype(np.int64)
+
+
+def make_anchor_udf(cfg: DedupConfig):
+    """pandas UDF: text → array<long> winnowing anchors ONLY — the light
+    path for the standalone substring-dedup query (no MinHash/SimHash
+    work). Identical tokenizer/coefficients to :func:`make_signature_udf`
+    so anchors agree with the fused kernel's."""
+    kcoef = poly_coeffs(cfg.shingle_k, 101)
+    wwin = cfg.winnow_window
+    empty = np.empty(0, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def anchor_udf(texts: pd.Series) -> pd.Series:
+        th, lens = tokenize_hash_batch(texts)
+        S, counts = shingle_hashes_flat(th, lens, cfg.shingle_k, kcoef)
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        if len(counts):
+            np.cumsum(counts[:-1], out=offsets[1:])
+        out = [
+            winnow_anchors(S[s : s + c], wwin) if c > 0 else empty
+            for s, c in zip(offsets, counts)
+        ]
+        return pd.Series(out)
+
+    return anchor_udf
 
 
 def make_shingle_set_udf(cfg: DedupConfig):

@@ -85,3 +85,75 @@ def simhash(token_hash_col: str | Column) -> Column:
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two int64 fingerprints — test helper."""
     return int(bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1"))
+
+
+# --------------------------------------------------------------------------
+# Oracle-reproducible token hash: FNV-1a (32-bit, two bases) over the
+# first FNV_PREFIX codepoints of a token plus its length. Chosen so the
+# EXACT same fingerprint is computable in DuckDB SQL (32-bit products fit
+# in UBIGINT without overflow — 64-bit FNV cannot wrap there), which
+# puts the SimHash Hamming-ball join under the driver's value-hash gate.
+# The production pipeline keeps the faster SipHash token hashing
+# (sigkernel.tokenize_hash_batch); only the fingerprint function differs,
+# the pigeonhole join operator is shared.
+# --------------------------------------------------------------------------
+
+FNV_PRIME = 16777619
+FNV_BASIS1 = 2166136261
+FNV_BASIS2 = 3339675911
+FNV_PREFIX = 8
+_FNV_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def fnv_token_hashes(flat_tokens: np.ndarray, token_lens: np.ndarray) -> np.ndarray:
+    """uint64 hash per token: (fnv1a32(token, BASIS1) << 32) |
+    fnv1a32(token, BASIS2), where fnv1a32 folds the first FNV_PREFIX
+    codepoints then the token length. Vectorized: one utf-32 decode of
+    the concatenated tokens + FNV_PREFIX+1 masked fold rounds."""
+    n = len(flat_tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    joined = "".join(flat_tokens)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(token_lens[:-1], out=starts[1:])
+    prime = np.uint64(FNV_PRIME)
+    hs = []
+    for basis in (FNV_BASIS1, FNV_BASIS2):
+        h = np.full(n, basis, dtype=np.uint64)
+        for j in range(FNV_PREFIX):
+            valid = token_lens > j
+            idx = np.where(valid, starts + j, 0)
+            cj = codes[idx]
+            folded = ((h ^ cj) * prime) & _FNV_MASK32
+            h = np.where(valid, folded, h)
+        h = ((h ^ token_lens.astype(np.uint64)) * prime) & _FNV_MASK32
+        hs.append(h)
+    return (hs[0] << np.uint64(32)) | hs[1]
+
+
+def make_fnv_simhash_udf():
+    """pandas UDF: text → int64 SimHash over FNV token hashes.
+
+    Tokenization matches the kernel contract (lower + whitespace split);
+    the DuckDB-equivalent SQL lives in __spark_entry__._DK_SIMHASH_SQL.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def fnv_simhash_udf(texts: pd.Series) -> pd.Series:
+        toks = texts.fillna("").str.lower().str.split()
+        sizes = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        total = int(sizes.sum())
+        if total == 0:
+            return pd.Series(np.zeros(len(toks), dtype=np.int64))
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in toks:
+            if t:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+        token_lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=total)
+        th = fnv_token_hashes(flat, token_lens)
+        return pd.Series(simhash_flat(th, sizes))
+
+    return fnv_simhash_udf
