@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 
 from gnames_spark.config import DedupConfig
 from gnames_spark.functions.minhash import minhash
-from gnames_spark.functions.shingles import shingle_set, shingle_strings
+from gnames_spark.functions.shingles import WS_CLASS_RE2, shingle_set, shingle_strings
 from gnames_spark.functions.sigkernel import make_anchor_udf
 from gnames_spark.functions.simhash import FNV_BASIS1, FNV_BASIS2, FNV_PREFIX, FNV_PRIME, make_fnv_simhash_udf
 from gnames_spark.functions.textstats import (
@@ -68,7 +68,11 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB fragments kept in exact parity with gnames_spark.functions.shingles
-_DK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_DK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '"
+    + WS_CLASS_RE2
+    + "+'), t -> t != '')"
+)
 _DK_SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest(len({_DK_TOKS}) - {K} + 1, 0) + 1), "
     f"i -> array_to_string(list_slice({_DK_TOKS}, i, i + {K - 1}), ' ')))"

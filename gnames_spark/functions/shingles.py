@@ -18,20 +18,47 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tokenizer shared by Spark and the DuckDB oracles: lowercase, split on
-# whitespace runs. Keep in sync with oracle SQL in __spark_entry__.py.
-TOKENIZE_EXPR = r"split(lower({col}), '\\s+')"
+# --------------------------------------------------------------------------
+# Unicode tokenization contract (pinned; goldens in tests/test_unicode.py):
+# - A token is a maximal run between characters of the EXPLICIT whitespace
+#   class below — exactly Python str.split()'s set (Unicode White_Space
+#   plus U+001C..001F). Written out because Java regex \s is ASCII-only
+#   and RE2 (DuckDB) \s is ASCII-only too; an implicit \s silently
+#   diverges from the pandas kernel path on NBSP / ideographic space.
+# - Lowercasing is full Unicode lowercase: JVM lower() == Python
+#   str.lower() (golden-verified incl. U+0130, ligatures, Greek). DuckDB
+#   lower() is utf8proc SIMPLE lowercase, which differs on context and full-mapping
+#   codepoints (e.g. U+0130 İ -> 'i' vs 'i'+U+0307); oracle corpora must
+#   avoid those few codepoints (the goldens assert the divergence set).
+# - No unicode normalization is applied: byte-identical input text ->
+#   identical tokens (north_rule byte-determinism holds at the
+#   tokenization layer).
+# The pandas kernel path (functions/sigkernel.py tokenize_hash_batch:
+# .str.lower().str.split()) satisfies this contract by construction.
+# --------------------------------------------------------------------------
+
+# Spark SQL literal form (Spark's SQL parser unescapes \\ -> \):
+WS_CLASS_JAVA = r"[\\x{9}-\\x{d}\\x{1c}-\\x{1f}\\x{85}\\p{Zs}\\x{2028}\\x{2029}]"
+# DuckDB literal form (no escape processing in standard string literals):
+WS_CLASS_RE2 = r"[\x{9}-\x{d}\x{1c}-\x{1f}\x{85}\p{Zs}\x{2028}\x{2029}]"
+
+
+def tokenize_sql(col: str, lower: bool = True) -> str:
+    """Spark SQL fragment: whitespace-run split of ``col`` per the
+    contract above (may include empty strings; callers filter)."""
+    inner = f"lower({col})" if lower else col
+    return "split(" + inner + ", '" + WS_CLASS_JAVA + "+')"
 
 
 def tokens(col: str = "text") -> Column:
     """Lowercased whitespace tokens of ``col`` (drops empty tokens)."""
-    return F.expr(f"filter({TOKENIZE_EXPR.format(col=col)}, t -> t != '')")
+    return F.expr(f"filter({tokenize_sql(col)}, t -> t != '')")
 
 
 def token_hashes(col: str = "text") -> Column:
     """xxhash64 of each token — input to the SimHash kernel."""
     return F.expr(
-        f"transform(filter({TOKENIZE_EXPR.format(col=col)}, t -> t != ''), t -> xxhash64(t))"
+        f"transform(filter({tokenize_sql(col)}, t -> t != ''), t -> xxhash64(t))"
     )
 
 
@@ -45,7 +72,7 @@ def _bind_tokens(col: str, body: str, k: int) -> str:
     single-element ``transform(array(toks), ws -> ...)`` trick gives the
     lambda a bound variable without needing an intermediate column.
     """
-    toks = f"filter({TOKENIZE_EXPR.format(col=col)}, t -> t != '')"
+    toks = f"filter({tokenize_sql(col)}, t -> t != '')"
     return (
         f"element_at(transform(array({toks}), ws -> "
         f"CASE WHEN size(ws) < {k} THEN array() ELSE {body} END), 1)"

@@ -60,9 +60,11 @@ def poly_coeffs(n: int, salt: int) -> np.ndarray:
 
 def tokenize_hash_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Lowercase whitespace tokens per doc → (flat uint64 token hashes,
-    per-doc token counts). Tokenization matches the JVM path in
-    functions/shingles.py (lower + split on whitespace runs, empties
-    dropped) for the ASCII corpora this engine targets."""
+    per-doc token counts). Tokenization satisfies the unicode contract
+    pinned in functions/shingles.py (explicit whitespace class ==
+    Python str.split's set; full-unicode lowercase) by construction —
+    golden-verified against the JVM path incl. non-ASCII whitespace
+    (tests/test_unicode.py)."""
     toks = texts.fillna("").str.lower().str.split()
     lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     total = int(lens.sum())

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from gnames_spark.functions.shingles import tokenize_sql
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + frozen: the heuristic must be
 # deterministic and cheap, not accurate — swap in a real LID model via
@@ -25,8 +27,9 @@ STOPWORDS = {
 
 
 def token_count(col: str = "text") -> Column:
-    """Whitespace token count."""
-    return F.size(F.expr(f"filter(split({col}, '\\\\s+'), t -> t != '')"))
+    """Whitespace token count (contract whitespace class — count is
+    case-insensitive so the lowered tokenizer is reused verbatim)."""
+    return F.size(F.expr(f"filter({tokenize_sql(col)}, t -> t != '')"))
 
 
 def bpe_ish_token_count(col: str = "text") -> Column:
@@ -48,7 +51,7 @@ def stopword_count(col: str, lang: str) -> Column:
     words = STOPWORDS[lang]
     arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
     return F.expr(
-        f"size(filter(split(lower({col}), '\\\\s+'), t -> array_contains({arr}, t)))"
+        f"size(filter({tokenize_sql(col)}, t -> array_contains({arr}, t)))"
     )
 
 
