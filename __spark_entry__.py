@@ -34,7 +34,7 @@ from gnames_spark.functions.textstats import (
     token_count,
 )
 from gnames_spark.operators.components import all_components, connected_components
-from gnames_spark.operators.embeddings import cosine_similarity_col, cosine_topk
+from gnames_spark.operators.embeddings import blocked_cosine_pairs, cosine_topk
 from gnames_spark.operators.lsh import lsh_candidates
 from gnames_spark.operators.simhash_join import simhash_candidates
 from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
@@ -356,11 +356,12 @@ def q_text_token_counts(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint (poly fold of char codes mod 2^31)."""
-    fp = F.expr(
-        "aggregate(split(text, ''), 0L, (h, c) -> (h * 31 + coalesce(ascii(c), 0)) % 2147483648)"
-    )
-    return _docs(spark, sf_dir).select("doc_id", fp.alias("fingerprint"))
+    """Document fingerprint (poly fold of codepoints mod 2^31) via the
+    Arrow kernel (functions/fingerprint.py) — no per-char interpreted
+    lambdas in the plan (asserted by tests/test_plans.py)."""
+    from gnames_spark.functions.fingerprint import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
 # --------------------------------------------------------------------------
@@ -377,17 +378,13 @@ def q_emb_topk(spark, sf_dir):
 
 
 def q_emb_sim_pairs(spark, sf_dir):
-    """All pairs with cosine >= 0.4 (embedding near-dup mining)."""
+    """All pairs with cosine >= 0.4 (embedding near-dup mining) via the
+    blocked GEMM operator — exact (oracle = brute-force SQL) with NO
+    crossJoin: work spread over block-pair tasks, candidate screen in
+    one numpy matmul per task, exact Catalyst cosine on join-back
+    (operators/embeddings.py:blocked_cosine_pairs)."""
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity_col("ea", "eb"), 5))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", "cosine")
-    )
+    return blocked_cosine_pairs(emb, 0.4, n_blocks=8, round_digits=5)
 
 
 # --------------------------------------------------------------------------

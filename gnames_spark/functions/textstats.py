@@ -103,21 +103,13 @@ def quality_score(col: str = "text") -> Column:
     return F.round(len_gate * stop_gate * punct_gate, 6)
 
 
-def rolling_fingerprint(col: str = "text", window: int = 16, mod: int = 1 << 31) -> Column:
+def rolling_fingerprint(col: str = "text", window: int = 16) -> Column:
     """Document fingerprint: MIN over all ``window``-char polynomial
-    rolling hashes (winnowing-style; stable under appended content).
-    Pure Catalyst: transform over positions + aggregate fold."""
-    # hash(w) = fold of ascii codes: (h*31 + code) mod 2^31
-    return F.expr(
-        f"""
-        CASE WHEN length({col}) < {window} THEN
-          aggregate(split({col}, ''), 0L, (h, c) -> (h * 31 + coalesce(ascii(c), 0)) % {mod})
-        ELSE
-          array_min(transform(
-            sequence(1, length({col}) - {window} + 1),
-            i -> aggregate(split(substring({col}, i, {window}), ''), 0L,
-                           (h, c) -> (h * 31 + coalesce(ascii(c), 0)) % {mod})
-          ))
-        END
-        """
-    )
+    rolling hashes mod 2^31 (winnowing-style; stable under appended
+    content). Arrow-batched O(n)-per-doc numpy kernel — the previous
+    pure-Catalyst form evaluated an interpreted lambda per CHARACTER
+    (~18 µs/elem), hours of core-time per TB (functions/fingerprint.py
+    has the kernel + value contract)."""
+    from gnames_spark.functions.fingerprint import fingerprint
+
+    return fingerprint(col, window=window)

@@ -133,21 +133,145 @@ def ann_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def blocked_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT all pairs with cosine >= threshold, with NO crossJoin.
+
+    Block-pair GEMM: vectors are hashed into ``n_blocks`` blocks; each
+    of the B(B+1)/2 unordered block pairs becomes one ``applyInPandas``
+    group whose task runs a single numpy matmul over (|block_a| ×
+    |block_b|) normalized vectors. Every vector is replicated to the B
+    block pairs containing its block (the unavoidable replication
+    factor of exact all-pairs blocking — pick B ≈ sqrt(2·tasks) so
+    task memory holds 2·n/B vectors), every unordered pair of ids
+    meets in EXACTLY one group, and the O(n²) work is spread evenly
+    over B(B+1)/2 tasks instead of one nested-loop join.
+
+    The GEMM emits candidates at (threshold − 1e-6) and the final
+    cosine is recomputed with the Catalyst fold expression — bitwise
+    identical to the sequential-sum DuckDB oracle, immune to
+    BLAS-vs-sequential last-ulp drift at the threshold boundary.
+
+    Reference shape analog: candidate index before exact verify
+    (/root/reference/PLAN_gnmatcher_embed.md:14-19).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    spark = vectors.sparkSession
+    edges = (
+        spark.range(n_blocks)
+        .select(F.col("id").alias("ba"))
+        .join(spark.range(n_blocks).select(F.col("id").alias("bb")), F.lit(True))
+        .filter(F.col("ba") <= F.col("bb"))
+    )
+    # replicate each vector into every block pair that contains its block
+    lhs = edges.join(v, v.blk == edges.ba).select("ba", "bb", "vid", "vec").withColumn(
+        "side", F.lit(0)
+    )
+    rhs = edges.join(v, v.blk == edges.bb).select("ba", "bb", "vid", "vec").withColumn(
+        "side", F.lit(1)
+    )
+    tagged = lhs.unionByName(rhs)
+    margin = float(threshold) - 1e-6
+
+    def gemm(key, pdf: pd.DataFrame):
+        ba, bb = key
+        same = ba == bb
+        if same:
+            # both sides carry the identical block; drop the duplicate copy
+            pdf = pdf[pdf["side"] == 0]
+            ids_a = pdf["vid"].to_numpy()
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+            ids_b, B = ids_a, A
+        else:
+            pa = pdf[pdf["side"] == 0]
+            pb = pdf[pdf["side"] == 1]
+            if len(pa) == 0 or len(pb) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            ids_a = pa["vid"].to_numpy()
+            ids_b = pb["vid"].to_numpy()
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in pa["vec"]])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in pb["vec"]])
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = np.inf  # zero vectors: cosine defined as 0 -> never pass
+        nb[nb == 0] = np.inf
+        sims = (A / na[:, None]) @ (B / nb[:, None]).T
+        ii, jj = np.nonzero(sims >= margin)
+        ia, ib = ids_a[ii], ids_b[jj]
+        keep = ia != ib
+        if same:
+            keep &= ia < ib
+        lo = np.minimum(ia[keep], ib[keep])
+        hi = np.maximum(ia[keep], ib[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cands = tagged.groupBy("ba", "bb").applyInPandas(gemm, schema="id_a long, id_b long")
+    # exact join-back cosine (Catalyst sequential fold == oracle rounding)
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ann_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 12,
+    seeds: tuple[int, ...] = (42, 1042, 2042),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: multi-probe sign-LSH — one bucket
+    table per seed, union of in-bucket exact-cosine pairs. The
+    10^12-scale sub-quadratic path (candidate volume ∝ bucket sizes,
+    not n²); recall vs the exact blocked path is measured by
+    tools/ann_recall.py and reported in BENCH.md, the way LSH banding
+    recall is derived for MinHash."""
+    out = None
+    for seed in seeds:
+        b = hyperplane_buckets(vectors, dim, n_bits, seed, id_col, vec_col)
+        lhs = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket")
+        rhs = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket")
+        pairs = (
+            lhs.join(rhs, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_va", "_vb")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return (
+        out.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup dedup).
-    Exact via self cross join — the oracle-grade form; swap the join
-    input for `hyperplane_buckets` output at scale."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .drop("_va", "_vb")
-    )
+    Exact, via :func:`blocked_cosine_pairs` — the previous self
+    crossJoin form is gone (it was the one checked path that could not
+    survive 100×; the blocked form is the same exact result with the
+    work spread over block-pair tasks)."""
+    return blocked_cosine_pairs(vectors, threshold, n_blocks, id_col, vec_col)

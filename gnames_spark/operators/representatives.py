@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 
 def select_representatives(
@@ -24,26 +23,26 @@ def select_representatives(
     """(doc_id, component_id) [+ doc attrs] → + (is_representative, rep_doc).
 
     Default policy: smallest doc_id wins (deterministic). Pass
-    ``order_cols`` (e.g. [F.desc("quality"), F.asc("doc_id")]) for a
-    quality-first policy — the analog of the reference ordering groups
-    by has-authors-first then arrival index (W3 in SURVEY §2.5). Any
-    ordering MUST end in a unique column; we append doc_id defensively.
+    ``order_cols`` (ASCENDING sort keys — negate a numeric column for
+    quality-first, e.g. [-F.col("quality")]) for a custom policy — the
+    analog of the reference ordering groups by has-authors-first then
+    arrival index (W3 in SURVEY §2.5). doc_id is appended as the final
+    tiebreak, so the choice is always unique.
+
+    Skew note (10^12-doc scale): the rep is a ``groupBy().agg(min_by)``
+    — map-side partially combined, so a boilerplate megacluster with
+    10^7 members costs each task only its local min, NOT one task
+    sorting the whole cluster (the previous row_number() window put the
+    entire largest component in a single partition). The join-back of
+    the one-row-per-component rep table runs under AQE skew splitting.
     """
     df = components
     if docs is not None:
         df = df.join(docs, df["doc_id"] == docs[id_col], "left").drop(docs[id_col])
-    ordering = list(order_cols or []) + [F.asc("doc_id")]
-    w = W.partitionBy("component_id").orderBy(*ordering)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("is_representative", F.col("_rn") == 1)
-        .withColumn(
-            "rep_doc",
-            F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).over(
-                W.partitionBy("component_id")
-            ),
-        )
-        .drop("_rn")
+    key = F.struct(*(list(order_cols or []) + [F.col("doc_id")]))
+    reps = df.groupBy("component_id").agg(F.min_by("doc_id", key).alias("rep_doc"))
+    return df.join(reps, "component_id").withColumn(
+        "is_representative", F.col("doc_id") == F.col("rep_doc")
     )
 
 

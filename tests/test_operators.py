@@ -325,3 +325,30 @@ class TestScoring:
         )
         best = best_match_per_doc(df.withColumn("score", pair_score()))
         assert sorted(r["doc_b"] for r in best.collect()) == [2, 3]
+
+
+class TestRepresentativesSkew:
+    def test_megacluster_no_window_single_task(self, spark):
+        """One synthetic megacluster: rep selection must be a map-side
+        combinable agg + join, never a row_number window that sorts the
+        whole component in one task."""
+        from gnames_spark.plans.audit import physical_plan
+
+        n = 20000
+        rows = [(i, 0) for i in range(n)] + [(100000 + i, 100000 + i) for i in range(20)]
+        assign = spark.createDataFrame(rows, "doc_id long, component_id long")
+        reps = select_representatives(assign)
+        assert "Window" not in physical_plan(reps)
+        got = reps.filter("component_id = 0").agg(
+            F.min("rep_doc"), F.max("rep_doc"), F.sum(F.col("is_representative").cast("int"))
+        ).collect()[0]
+        assert got[0] == 0 and got[1] == 0 and got[2] == 1
+
+    def test_custom_order_cols(self, spark):
+        assign = spark.createDataFrame(
+            [(1, 1, 0.5), (2, 1, 0.9), (3, 1, 0.9)],
+            "doc_id long, component_id long, quality double",
+        )
+        reps = select_representatives(assign, order_cols=[-F.col("quality")])
+        rows = {r["doc_id"]: r["rep_doc"] for r in reps.collect()}
+        assert rows == {1: 2, 2: 2, 3: 2}  # highest quality, doc_id tiebreak
