@@ -645,6 +645,219 @@ def q_x11_status_derivation(spark, sf_dir):
     return o.select("o_orderkey", status.alias("derived_status"))
 
 
+def q_x16_score_details(spark, sf_dir):
+    """X16: pack the pair score then mask+shift it BACK to per-criterion
+    values (scoring.unpack_score — the reporting half that was missing;
+    reference /root/reference/pkg/ent/score/score.go:82-93)."""
+    from gnames_spark.operators.scoring import pair_score, unpack_score
+
+    li = _tpch(spark, sf_dir, "lineitem")
+    method = (
+        F.when(F.col("l_returnflag") == "R", "exact")
+        .when(F.col("l_returnflag") == "A", "suffix")
+        .otherwise("lsh")
+    )
+    scored = li.select(
+        method.alias("method"),
+        (F.col("l_quantity") / 100).alias("jaccard"),
+        F.col("l_linenumber").alias("hamming"),
+    ).withColumn("score", pair_score())
+    return (
+        scored.select("score", *unpack_score())
+        .groupBy("method_rank", "jaccard_bucket", "inv_hamming")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def q_j7_composite_key_join(spark, sf_dir):
+    """J7/J8: true multi-column-key equi-join — aggregate per composite
+    (l_partkey, l_suppkey) key, join BACK on both columns (reference
+    joins verification records on (data_source_id, record_id),
+    /root/reference/internal/io/pgio/vern_query.go:84-91)."""
+    li = _tpch(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("ps_qty"), F.count("*").alias("ps_lines")
+    )
+    return (
+        li.join(agg, ["l_partkey", "l_suppkey"])
+        .filter(F.col("l_quantity") * F.col("ps_lines") > F.col("ps_qty"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.round("ps_qty", 4).alias("ps_qty"),
+            "ps_lines",
+        )
+    )
+
+
+def q_s6_faceted_search(spark, sf_dir):
+    """S6+J2+F5+F4 COMPOSED: posting-list intersection (two semi-joins)
+    + prefix LIKE + year-range + type filter in ONE query — the
+    reference's faceted search combines word-index join, wildcard,
+    year and rank predicates in a single statement
+    (/root/reference/internal/io/pgio/sp_query.go:19-83)."""
+    o = _tpch(spark, sf_dir, "orders")
+    li = _tpch(spark, sf_dir, "lineitem")
+    p = _tpch(spark, sf_dir, "part")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    facet_orders = (
+        o.filter(
+            (F.year("o_orderdate") >= 1994)
+            & (F.year("o_orderdate") <= 1996)
+            & (F.col("o_orderstatus") != "F")
+        )
+        .join(urgent, "o_custkey", "left_semi")
+        .join(open_, "o_custkey", "left_semi")
+    )
+    parts = p.filter(F.col("p_name").like("b%")).select("p_partkey")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(facet_orders, li.l_orderkey == facet_orders.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_events_json_roundtrip(spark, sf_dir):
+    """S8: nested JSON roundtrip — struct → to_json → from_json → field
+    access (the reference emits/consumes nested JSON verification
+    output, /root/reference/internal/io/rest/rest.go:387-483). The
+    aggregate is computed FROM the re-parsed struct, so the roundtrip
+    is load-bearing."""
+    e = _events(spark, sf_dir)
+    schema = "struct<event_type:string, payload:struct<user_id:bigint, value:double>>"
+    j = e.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.struct(F.col("user_id"), F.col("value")).alias("payload"),
+            )
+        ).alias("j")
+    )
+    parsed = j.select(F.from_json("j", schema).alias("r"))
+    return (
+        parsed.select("r.event_type", "r.payload.user_id", "r.payload.value")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_a3_group_synth_id(spark, sf_dir):
+    """A3: group + synthesized deterministic group id — md5 of the
+    canonical group key formatted as a UUID (the reference synthesizes
+    uuid5-of-name per group, /root/reference/internal/io/pgio/srch_query.go:89;
+    SURVEY permits any deterministic hash-derived id)."""
+    o = _tpch(spark, sf_dir, "orders")
+    h = F.md5(F.concat_ws("|", "o_orderpriority", "o_orderstatus"))
+    uuid_fmt = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.min("o_orderkey").alias("first_order"))
+        .withColumn("group_uuid", uuid_fmt)
+    )
+
+
+def q_x6_collation_fold(spark, sf_dir):
+    """X6: collation-aware (diacritic/case-insensitive) comparison —
+    accent the part name deterministically, fold it back, and prove the
+    fold restores the original lowercase form (reference strips
+    diacritics before author compare,
+    /root/reference/pkg/ent/score/auth.go:127-140)."""
+    from gnames_spark.functions.collation import ascii_fold
+
+    p = _tpch(spark, sf_dir, "part")
+    accented = F.translate(F.col("p_name"), "aeiou", "àéîõü")
+    return p.select(
+        "p_partkey",
+        accented.alias("accented"),
+        ascii_fold(accented).alias("folded"),
+        (ascii_fold(accented) == F.lower("p_name")).alias("fold_restores"),
+    )
+
+
+def q_x4_authorship_extract(spark, sf_dir):
+    """X4: structured extraction from a formatted string — regexp
+    capture groups split 'N-WORD' priorities into typed parts + year
+    (the reference parses authorship into (authors, year),
+    /root/reference/pkg/ent/score/auth.go:30-52)."""
+    o = _tpch(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.regexp_extract("o_orderpriority", r"^(\d+)-(.+)$", 1)
+            .cast("int")
+            .alias("prio_num"),
+            F.regexp_extract("o_orderpriority", r"^(\d+)-(.+)$", 2).alias("prio_word"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .groupBy("prio_num", "prio_word", "order_year")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_x7_year_proximity(spark, sf_dir):
+    """X7: year-proximity enum — abs(year diff) bucketed into a match
+    class (the reference scores year closeness as an enum,
+    /root/reference/pkg/ent/score/score_calc.go:56-76)."""
+    o = _tpch(spark, sf_dir, "orders")
+    li = _tpch(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    diff = F.abs(F.year("l_shipdate") - F.year("o_orderdate"))
+    cls = (
+        F.when(diff == 0, "same_year")
+        .when(diff == 1, "adjacent")
+        .otherwise("far")
+    )
+    return j.groupBy(cls.alias("proximity")).agg(F.count("*").alias("n_lines"))
+
+
+def q_x8_subterm_extract(spark, sf_dir):
+    """X8: positional sub-term extraction from a token array — the
+    middle trigram of each document (the reference slices infraspecific
+    epithets out of parsed name arrays)."""
+    from gnames_spark.functions.shingles import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    mid = (F.size(toks) / 2).cast("int") + 1
+    return d.select(
+        "doc_id",
+        F.when(F.size(toks) >= 3, F.concat_ws(" ", F.slice(toks, mid, 3)))
+        .otherwise(F.concat_ws(" ", toks))
+        .alias("mid_trigram"),
+    )
+
+
+def q_x12_outlink(spark, sf_dir):
+    """X12: outlink templating — URL from a format string + fields
+    (reference builds outlink URLs per data source,
+    /root/reference/pkg/ent/verifier/verifier.go outlink templating)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.format_string("https://example.org/%s/%s/%d", F.col("source"), F.col("lang"), F.col("doc_id")).alias(
+            "outlink"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -690,6 +903,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "a10_approx_distinct": q_a10_approx_distinct,
         "x11_status_derivation": q_x11_status_derivation,
+        "x16_score_details": q_x16_score_details,
+        "j7_composite_key_join": q_j7_composite_key_join,
+        "s6_faceted_search": q_s6_faceted_search,
+        "events_json_roundtrip": q_events_json_roundtrip,
+        "a3_group_synth_id": q_a3_group_synth_id,
+        "x6_collation_fold": q_x6_collation_fold,
+        "x4_authorship_extract": q_x4_authorship_extract,
+        "x7_year_proximity": q_x7_year_proximity,
+        "x8_subterm_extract": q_x8_subterm_extract,
+        "x12_outlink": q_x12_outlink,
     }
 
 
@@ -945,6 +1168,110 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN o_orderpriority LIKE '1%' THEN 'Synonym'
                                     ELSE 'Unknown' END AS derived_status
             FROM orders
+        """,
+        "x16_score_details": """
+            WITH t AS (
+              SELECT CASE WHEN l_returnflag = 'R' THEN 7
+                          WHEN l_returnflag = 'A' THEN 5
+                          ELSE 3 END::BIGINT AS mrank,
+                     least(round(l_quantity / 100 * 1000)::BIGINT, 1000) AS jbucket,
+                     127 - least(l_linenumber::BIGINT, 127) AS inv_ham
+              FROM lineitem
+            ), packed AS (
+              SELECT mrank * 1152921504606846976 + jbucket * 1125899906842624
+                     + inv_ham * 8796093022208 AS score
+              FROM t
+            )
+            SELECT (score // 1152921504606846976) % 8 AS method_rank,
+                   (score // 1125899906842624) % 1024 AS jaccard_bucket,
+                   (score // 8796093022208) % 128 AS inv_hamming,
+                   count(*) AS n_rows
+            FROM packed GROUP BY 1, 2, 3
+        """,
+        "j7_composite_key_join": """
+            WITH agg AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_qty,
+                     count(*) AS ps_lines
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+                   round(a.ps_qty, 4) AS ps_qty, a.ps_lines
+            FROM lineitem l
+            JOIN agg a ON l.l_partkey = a.l_partkey AND l.l_suppkey = a.l_suppkey
+            WHERE l.l_quantity * a.ps_lines > a.ps_qty
+        """,
+        "s6_faceted_search": """
+            SELECT year(o.o_orderdate) AS order_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(DISTINCT o.o_orderkey) AS n_orders
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'b%'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE year(o.o_orderdate) BETWEEN 1994 AND 1996
+              AND o.o_orderstatus != 'F'
+              AND o.o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+              AND o.o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            GROUP BY 1
+        """,
+        "events_json_roundtrip": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "a3_group_synth_id": """
+            WITH g AS (
+              SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                     min(o_orderkey) AS first_order,
+                     md5(o_orderpriority || '|' || o_orderstatus) AS h
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderpriority, o_orderstatus, n_orders, first_order,
+                   substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+                   substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+                   substr(h, 21, 12) AS group_uuid
+            FROM g
+        """,
+        "x6_collation_fold": """
+            WITH t AS (
+              SELECT p_partkey, translate(p_name, 'aeiou', 'àéîõü') AS accented,
+                     p_name
+              FROM part
+            )
+            SELECT p_partkey, accented,
+                   strip_accents(lower(accented)) AS folded,
+                   strip_accents(lower(accented)) = lower(p_name) AS fold_restores
+            FROM t
+        """,
+        "x4_authorship_extract": """
+            SELECT CAST(regexp_extract(o_orderpriority, '^(\\d+)-(.+)$', 1) AS INTEGER)
+                       AS prio_num,
+                   regexp_extract(o_orderpriority, '^(\\d+)-(.+)$', 2) AS prio_word,
+                   year(o_orderdate) AS order_year,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "x7_year_proximity": """
+            SELECT CASE WHEN abs(year(l_shipdate) - year(o_orderdate)) = 0 THEN 'same_year'
+                        WHEN abs(year(l_shipdate) - year(o_orderdate)) = 1 THEN 'adjacent'
+                        ELSE 'far' END AS proximity,
+                   count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "x8_subterm_extract": f"""
+            WITH t AS (
+              SELECT doc_id, {_DK_TOKS} AS w FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN
+                     array_to_string(list_slice(w, len(w) // 2 + 1, len(w) // 2 + 3), ' ')
+                   ELSE array_to_string(w, ' ') END AS mid_trigram
+            FROM t
+        """,
+        "x12_outlink": """
+            SELECT doc_id,
+                   printf('https://example.org/%s/%s/%d', source, lang, doc_id) AS outlink
+            FROM documents
         """,
     }
 

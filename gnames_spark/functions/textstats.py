@@ -37,7 +37,6 @@ def bpe_ish_token_count(col: str = "text") -> Column:
     boundaries + one token per ~4 chars of long words (a deterministic
     proxy for subword tokenizers; exact parity with a real BPE vocab is
     a model artifact, not an engine feature)."""
-    pieces = F.expr(f"filter(split(lower({col}), '[^a-z0-9]+'), t -> t != '')")
     return F.expr(
         f"aggregate({pieces_sql(col)}, 0L, (acc, w) -> acc + greatest(1L, cast(ceil(length(w) / 4.0) as long)))"
     )
@@ -57,7 +56,9 @@ def stopword_count(col: str, lang: str) -> Column:
 
 def langid_heuristic(col: str = "text") -> Column:
     """Predicted language = argmax of stopword hit counts ('und' if no
-    hits). Deterministic tie-break: language name ascending."""
+    hits). Deterministic tie-break: lexically GREATEST language name
+    wins (array_max compares (hits, lang) structs; the DuckDB oracle's
+    CASE ladder encodes the same fr > es > en > de preference)."""
     scored = [
         F.struct(stopword_count(col, lang).alias("hits"), F.lit(lang).alias("lang"))
         for lang in sorted(STOPWORDS)

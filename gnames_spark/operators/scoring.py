@@ -55,6 +55,20 @@ def pair_score(
     )
 
 
+def unpack_score(score_col: str = "score") -> list[Column]:
+    """Mask+shift the packed score back to per-criterion values — the
+    reporting half (X16; reference
+    `/root/reference/pkg/ent/score/score.go:82-93` extracts each
+    criterion with the same shift/mask arithmetic for its details
+    struct). Inverse of :func:`pair_score`'s layout."""
+    s = F.col(score_col)
+    return [
+        F.shiftrightunsigned(s, 60).bitwiseAND(F.lit(7)).alias("method_rank"),
+        F.shiftrightunsigned(s, 50).bitwiseAND(F.lit(1023)).alias("jaccard_bucket"),
+        F.shiftrightunsigned(s, 43).bitwiseAND(F.lit(127)).alias("inv_hamming"),
+    ]
+
+
 def sort_score(score_col: str = "score") -> Column:
     """log10 of the packed score — the reference's SortScore analog
     (`/root/reference/pkg/ent/score/score.go:39-41`)."""
