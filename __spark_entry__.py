@@ -45,20 +45,10 @@ K = 3            # word-shingle size for the documents corpus (short docs)
 TAU = 0.8        # Jaccard duplicate threshold
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-def _tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from gnames_spark.sources import read_documents as _docs  # noqa: E402
+from gnames_spark.sources import read_embeddings as _emb  # noqa: E402
+from gnames_spark.sources import read_events as _events  # noqa: E402
+from gnames_spark.sources import read_table as _tpch  # noqa: E402
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

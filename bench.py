@@ -19,6 +19,10 @@ import os
 import sys
 import time
 
+# sandbox: single shared /tmp disk serializes shuffle I/O; tmpfs is safe
+# here because bench datasets are far below RAM (see session.py)
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -44,13 +48,17 @@ def _bench_queries(spark, sf_dir):
         "dedup_minhash_lsh",
         "dedup_components",
         "dedup_simhash_pairs",
+        "dedup_substring_pairs",
         "dedup_exact_groups",
         "q1_pricing_summary",
         "j1_multiway_join",
         "w2_best_with_ties",
         "events_sessionization",
         "emb_topk",
+        "emb_sim_pairs",
         "text_token_counts",
+        "text_fingerprint",
+        "s6_faceted_search",
     ]
     timings: dict[str, float] = {}
     for name in picked:

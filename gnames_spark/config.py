@@ -81,8 +81,15 @@ class DedupConfig:
     # shingles GUARANTEES a shared anchor (the mod-sampler only catches a
     # 512-char run with P≈1-(1-1/16)^106, and its random cross-doc
     # collisions exploded to 1.9M candidate pairs at 120k docs).
-    # 512 chars ≈ 106 word-5-shingles > 50 → guaranteed coverage.
-    winnow_window: int = 50
+    # Sized so the min_shared_anchors guarantee below holds at
+    # min_substring_len=512 even for max_token_chars-long words —
+    # validate() enforces the inequality.
+    winnow_window: int = 16
+    # conservative upper bound on token length (chars) assumed when
+    # converting min_substring_len (chars) into a guaranteed token run;
+    # tokens longer than this inside a shared run weaken the winnowing
+    # guarantee (they consume chars without contributing shingles)
+    max_token_chars: int = 12
 
     # skew / overload handling (analog of the reference's 100-results /
     # 20-virus truncation, /root/reference/internal/io/pgio/match_records_map.go:17-22)
@@ -95,12 +102,12 @@ class DedupConfig:
     # kernel (reference virus overload analog: tighter 20-cap,
     # /root/reference/internal/io/pgio/match_records_map.go:154)
     anchor_cap: int = 64
-    # a shared run of min_substring_len chars spans >= 2*winnow_window-1
-    # shingle windows, which pins window-minima at >= 2 distinct
-    # positions — so requiring 2 shared anchors per candidate pair keeps
-    # the winnowing guarantee (up to a 2^-64 hash tie) while dropping
-    # single-shingle coincidences. Requires min_substring_len >=
-    # (2*winnow_window + shingle_k - 2) words' worth of chars; validate().
+    # a shared substring containing a run of >= 2*winnow_window + k - 1
+    # FULL tokens spans >= 2*winnow_window shingle windows, pinning
+    # window minima at >= 2 disjoint positions — so requiring 2 shared
+    # anchors keeps the winnowing guarantee (up to a 2^-64 hash tie)
+    # while dropping single-shingle coincidences. validate() checks the
+    # chars-to-tokens conversion (see substring_guarantee_chars).
     min_shared_anchors: int = 2
 
     # execution
@@ -119,6 +126,20 @@ class DedupConfig:
     def with_overrides(self, **kw) -> "DedupConfig":
         return replace(self, **kw)
 
+    def substring_guarantee_chars(self) -> int:
+        """Minimum min_substring_len (chars) for which the winnowing
+        guarantee delivers min_shared_anchors shared anchors.
+
+        A shared substring of C chars contains, worst case, a run of
+        C/(max_token_chars+1) − 2 full tokens (the +1 is the separator;
+        −2 for the partial tokens at both edges). min_shared_anchors=1
+        needs a run of winnow_window + shingle_k − 1 tokens (one full
+        shingle window); =2 needs 2·winnow_window + shingle_k − 1 (two
+        disjoint windows → two distinct value minima)."""
+        need = (2 if self.min_shared_anchors >= 2 else 1) * self.winnow_window
+        need_tokens = need + self.shingle_k - 1
+        return (need_tokens + 2) * (self.max_token_chars + 1)
+
     def validate(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:
             raise ValueError(
@@ -128,6 +149,18 @@ class DedupConfig:
             raise ValueError("simhash_bits must be 64 (packed into one long column)")
         if self.simhash_bits % (self.hamming_d + 1) != 0:
             raise ValueError("hamming_d+1 must divide simhash_bits for pigeonhole chunks")
+        if self.min_shared_anchors > 2:
+            raise ValueError("min_shared_anchors > 2 has no winnowing guarantee derivation")
+        guarantee = self.substring_guarantee_chars()
+        if self.min_substring_len < guarantee:
+            raise ValueError(
+                f"min_substring_len={self.min_substring_len} is below the winnowing "
+                f"guarantee threshold {guarantee} for (winnow_window={self.winnow_window}, "
+                f"shingle_k={self.shingle_k}, min_shared_anchors={self.min_shared_anchors}, "
+                f"max_token_chars={self.max_token_chars}) — a documented substring "
+                f"duplicate could be silently missed. Lower winnow_window or "
+                f"min_shared_anchors, or raise min_substring_len."
+            )
 
 
 DEFAULT_CONFIG = DedupConfig()

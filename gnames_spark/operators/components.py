@@ -87,7 +87,11 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+    io=None,
+    stage_prefix: str = "cc_round",
 ) -> DataFrame:
     """(src, dst) edge list → (doc_id, component_id) assignments.
 
@@ -96,20 +100,37 @@ def connected_components(
     `/root/reference/pkg/gnames_verif.go:92-107`). Nodes that appear in
     no edge are absent — callers attach singletons with
     ``all_components``.
+
+    Fault tolerance: by default each round is ``localCheckpoint``-ed —
+    fast, but blocks live on executors, so an executor loss mid-loop
+    kills the job. Pass a CheckpointIO (``io``) to write each round to
+    reliable storage instead (north_rule resumability): a killed run
+    re-reads completed rounds from the store (same config hash) and
+    continues from the first missing one — the star iterations are
+    deterministic, so the resumed trajectory is identical.
     """
-    # localCheckpoint EVERY round is load-bearing: it truncates the
-    # *logical plan*, which otherwise grows ~6x per iteration (the
-    # star ops nest unions+joins of the previous round's plan) and
-    # blows up plan stringification/analysis after ~10 rounds.
-    e = _normalize(edges)
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
+    # cutting lineage EVERY round is load-bearing: the logical plan
+    # otherwise grows ~6x per iteration (the star ops nest unions+joins
+    # of the previous round's plan) and blows up plan analysis after
+    # ~10 rounds.
+    spark = edges.sparkSession
+
+    def _cut(df: DataFrame | None, round_no: int, build=None):
+        if io is not None:
+            got, _ = io.write_or_reuse(
+                spark, f"{stage_prefix}_{round_no:03d}", (build or (lambda: df))
+            )
+            return got
+        if df is None:
+            df = build()
+        return df.localCheckpoint(eager=True) if checkpoint else df
+
+    e = _cut(_normalize(edges), 0)
     prev = _checksum(e)
     converged = False
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e))
-        if checkpoint:
-            e = e.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        prev_e = e
+        e = _cut(None, i + 1, build=lambda: _small_star(_large_star(prev_e)))
         cur = _checksum(e)
         if cur == prev:
             converged = True

@@ -32,7 +32,16 @@ from gnames_spark.config import DedupConfig
 
 @F.pandas_udf(T.DoubleType())
 def _jaccard_udf(set_a: pd.Series, set_b: pd.Series) -> pd.Series:
-    """Exact Jaccard of two unique-element int64 arrays per row."""
+    """Exact Jaccard of two int64 arrays per row.
+
+    PRECONDITION: both arrays contain DISTINCT elements — |A| is taken
+    as len(A) and the intersection uses assume_unique=True, so duplicate
+    elements give silently wrong values. Every in-repo producer
+    satisfies this (shingle_set/make_shingle_set_udf apply
+    array_distinct/np.unique); external callers of verify_pairs must
+    pass set-valued columns. (The kernel's >>1 range shift could in
+    principle collide two distinct hashes post-unique — probability
+    ~2^-63 per pair, accepted.)"""
     out = np.zeros(len(set_a), dtype=np.float64)
     for i, (a, b) in enumerate(zip(set_a, set_b)):
         if a is None or b is None:
@@ -56,7 +65,8 @@ def verify_pairs(
 
     Exact Jaccard over the distinct-shingle sets of both docs; pairs
     whose either side has an empty set get jaccard 0.0 (they can only
-    be duplicates via the exact or substring paths).
+    be duplicates via the exact or substring paths). ``set_col`` MUST
+    hold distinct elements per row (see _jaccard_udf precondition).
     """
     sets_a = shingle_sets.select(
         F.col(id_col).alias("doc_a"), F.col(set_col).alias("_set_a")

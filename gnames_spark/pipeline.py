@@ -55,6 +55,7 @@ class DedupPipeline:
         run_id: str | None = None,
         enable_simhash: bool = True,
         enable_substring: bool = True,
+        cc_checkpoint_rounds: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg or DedupConfig()
@@ -67,6 +68,13 @@ class DedupPipeline:
         )
         self.enable_simhash = enable_simhash
         self.enable_substring = enable_substring
+        # route each CC round through the reliable checkpoint store
+        # (survives executor loss mid-loop; resumes at the first missing
+        # round) instead of executor-local blocks. Off by default in the
+        # sandbox — localCheckpoint is faster and single-JVM local mode
+        # cannot lose an executor. Turn ON for cluster runs.
+        self.cc_checkpoint_rounds = cc_checkpoint_rounds and self.io is not None
+        self._overflow_cache: list[DataFrame] = []
 
     # -- stage helper ------------------------------------------------
     def _stage(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
@@ -85,18 +93,23 @@ class DedupPipeline:
         self.metrics.record(name, rows, _time.monotonic() - t0)
         return df
 
-    def _record_overflow(self, name: str, overflow: DataFrame) -> None:
+    def _record_overflow(self, name: str, overflow: DataFrame) -> DataFrame:
         """Hot-bucket truncation is NEVER silent (north_rule / SURVEY §4
         P5): record how many buckets were dropped and how many docs they
         held — the analog of the reference logging skipped-record counts.
 
         The overflow DF is persisted first: it is consumed twice (this
-        stats collect + the branch's anti-join) and is tiny."""
+        stats collect + the branch's anti-join) and is tiny. The
+        persisted handle is returned so the candidates stage can
+        unpersist it once the stage is materialized (otherwise cached
+        partitions accumulate for the session lifetime)."""
         overflow = overflow.persist()
+        self._overflow_cache.append(overflow)
         row = overflow.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs")
         ).collect()[0]
         self.metrics.record(name, int(row["n"]), 0.0, dropped_docs=int(row["docs"]))
+        return overflow
 
     # -- stages --------------------------------------------------------
     def prepare_docs(self, pages: DataFrame) -> DataFrame:
@@ -163,13 +176,25 @@ class DedupPipeline:
                 )
                 self._record_overflow("simhash_overflow_chunks", sim_overflow)
                 branches.append(sim_pairs.select("doc_a", "doc_b", "method"))
+            overflow_docs = None
             if self.enable_substring:
                 anchors = nonempty.select("doc_id", F.explode("anchors").alias("anchor"))
                 anc_pairs, anc_overflow = anchor_pairs_from_anchors(
                     anchors, cfg, dedup=False
                 )
-                self._record_overflow("anchor_overflow", anc_overflow)
+                anc_overflow = self._record_overflow("anchor_overflow", anc_overflow)
                 branches.append(anc_pairs.select("doc_a", "doc_b", "method"))
+                # docs whose anchors sat in a dropped (overflowed) bucket
+                # lost their chance at the anchor tag — remember them so
+                # the verify stage can still route their Jaccard-failed
+                # pairs to the substring LCS check (cap must truncate
+                # work, never silently truncate RECALL)
+                overflow_docs = (
+                    anchors.join(anc_overflow.select("anchor"), "anchor", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("_anchor_ov", F.lit(True))
+                )
             out = branches[0]
             for b in branches[1:]:
                 out = out.unionByName(b)
@@ -178,15 +203,38 @@ class DedupPipeline:
             # the substring LCS check, so a pair co-detected by lsh must
             # not lose its anchor tag (a substring dup at J<tau would
             # silently skip LCS otherwise).
-            return (
+            out = (
                 out.groupBy("doc_a", "doc_b")
                 .agg(F.max_by("method", F.when(F.col("method") == "exact", 4)
                               .when(F.col("method") == "anchor", 3)
                               .when(F.col("method") == "lsh", 2)
                               .otherwise(1)).alias("method"))
             )
+            if overflow_docs is None:
+                return out.withColumn("anchor_overflow", F.lit(False))
+            ova = overflow_docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("_anchor_ov").alias("_ova")
+            )
+            ovb = overflow_docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("_anchor_ov").alias("_ovb")
+            )
+            return (
+                out.join(F.broadcast(ova), "doc_a", "left")
+                .join(F.broadcast(ovb), "doc_b", "left")
+                .withColumn(
+                    "anchor_overflow",
+                    F.coalesce("_ova", F.lit(False)) | F.coalesce("_ovb", F.lit(False)),
+                )
+                .drop("_ova", "_ovb")
+            )
 
-        return self._stage("candidate_pairs", build)
+        df = self._stage("candidate_pairs", build)
+        # overflow stats were double-consumed (collect + anti-join);
+        # stage is materialized now, so release the cached partitions
+        for o in self._overflow_cache:
+            o.unpersist()
+        self._overflow_cache.clear()
+        return df
 
     def verified(self, candidates: DataFrame, signatures: DataFrame, docs: DataFrame) -> DataFrame:
         cfg = self.cfg
@@ -197,6 +245,34 @@ class DedupPipeline:
                 "jaccard", F.lit(1.0)
             ).withColumn("passed", F.lit(True))
             rest = candidates.filter(F.col("method") != "exact")
+            # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+            # so an lsh/simhash pair whose shingle-count ratio is below
+            # the threshold CANNOT pass Jaccard — drop it before the
+            # (expensive) set hydration + intersection. n_shingles is
+            # already in the narrow signatures table; the two joins ride
+            # the same doc_id shuffle the hydration would have paid.
+            # Round-1 measurement: the simhash branch alone fed ~500k
+            # boilerplate pairs into verify at 120k docs; most die here.
+            # anchor-tagged / overflow-flagged pairs are exempt (their
+            # Jaccard failure routes them to the substring LCS check, a
+            # path that must survive regardless of set-size skew).
+            nsz = signatures.select("doc_id", "n_shingles")
+            na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
+            nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
+            sized = rest.join(na, "doc_a", "left").join(nb, "doc_b", "left")
+            ratio_fail = (
+                F.least("_na", "_nb")
+                < F.lit(cfg.jaccard_threshold) * F.greatest("_na", "_nb")
+            )
+            lcs_exempt = (F.col("method") == "anchor") | F.col("anchor_overflow")
+            prunable = ratio_fail & ~lcs_exempt & F.col("_na").isNotNull() & F.col("_nb").isNotNull()
+            pruned = (
+                sized.filter(prunable)
+                .select("doc_a", "doc_b", "method", "anchor_overflow")
+                .withColumn("jaccard", F.lit(0.0))
+                .withColumn("passed", F.lit(False))
+            )
+            rest = sized.filter(~prunable).drop("_na", "_nb")
             # join-back hydration: recompute shingle sets (same kernel →
             # identical hashes) for ONLY the docs that appear in a pair —
             # cheaper at every scale than storing/shuffling the wide
@@ -211,7 +287,9 @@ class DedupPipeline:
                 docs.join(participants, "doc_id", "left_semi")
                 .select("doc_id", set_udf(F.col("text")).alias("shingle_set"))
             )
-            ver = verify_pairs(rest, sets, cfg, set_col="shingle_set")
+            ver = verify_pairs(rest, sets, cfg, set_col="shingle_set").unionByName(
+                pruned.select(*rest.columns, "jaccard", "passed")
+            )
             if self.enable_substring:
                 # Jaccard-failed ANCHOR pairs get the substring check
                 # (PartialExact). Only the anchor method indicates a
@@ -220,8 +298,15 @@ class DedupPipeline:
                 # shared anchor, so lsh/simhash-only failures cannot be
                 # substring dups — skipping them keeps the expensive
                 # LCS kernel off the boilerplate cross-pair flood.
+                # EXCEPTION: anchor_cap drops hot anchor buckets before
+                # pair generation, so a doc whose anchors overflowed may
+                # carry a genuine substring dup without the anchor tag —
+                # those pairs (flagged anchor_overflow by the candidates
+                # stage) are routed to LCS regardless of method, keeping
+                # the cap a work bound, not a recall bound.
                 failed = ver.filter(
-                    (~F.col("passed")) & (F.col("method") == "anchor")
+                    (~F.col("passed"))
+                    & ((F.col("method") == "anchor") | F.col("anchor_overflow"))
                 ).select("doc_a", "doc_b")
                 sub = substring_verify(failed, docs, cfg).filter("passed")
                 sub_edges = sub.select(
@@ -250,7 +335,11 @@ class DedupPipeline:
                 verified.filter("passed")
                 .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
             )
-            assign = connected_components(edges, max_iterations=cfg.max_cc_iterations)
+            assign = connected_components(
+                edges,
+                max_iterations=cfg.max_cc_iterations,
+                io=self.io if self.cc_checkpoint_rounds else None,
+            )
             # exact-dup members share content_sha with the signed
             # representative; they inherit its component through the
             # exact star edges already present in `edges`.

@@ -32,12 +32,20 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(int(n), 4)
 
-    # shuffle/spill scratch on tmpfs when available: this sandbox has one
-    # shared /tmp disk that serializes shuffle I/O across all cores
-    # (measured: identical 8-core pipeline 110s on disk vs 70s on tmpfs);
-    # real clusters have per-node disks. Override with SPARK_GRAFT_LOCAL_DIR.
+    # shuffle/spill scratch on tmpfs is OPT-IN (SPARK_GRAFT_TMPFS=1 or an
+    # explicit SPARK_GRAFT_LOCAL_DIR): tmpfs is RAM-backed and typically
+    # capped at 50% of RAM, so spill > RAM — the NORM at production scale
+    # — would ENOSPC, and "spilling" under memory pressure would consume
+    # more memory. This sandbox's single shared /tmp disk serializes
+    # shuffle I/O (measured: identical 8-core pipeline 110s on disk vs
+    # 70s on tmpfs), so bench/recall/scaling tools and tests set the flag
+    # explicitly; production defaults to Spark's normal local dirs.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
+    if (
+        local_dir is None
+        and os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+        and os.path.isdir("/dev/shm")
+    ):
         local_dir = "/dev/shm/spark-scratch"
     if local_dir:
         try:

@@ -1,4 +1,8 @@
+import os
+
 import pytest
+
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox-only shuffle scratch
 
 from gnames_spark.session import get_spark
 

@@ -352,3 +352,50 @@ class TestRepresentativesSkew:
         reps = select_representatives(assign, order_cols=[-F.col("quality")])
         rows = {r["doc_id"]: r["rep_doc"] for r in reps.collect()}
         assert rows == {1: 2, 2: 2, 3: 2}  # highest quality, doc_id tiebreak
+
+
+class TestCCReliableRounds:
+    def _edges(self, spark):
+        rows = [(i, i + 1) for i in range(0, 40, 2)]          # 20 chains of 2
+        rows += [(100, 101), (101, 102), (102, 103), (103, 104)]  # one path of 5
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_io_rounds_match_local_checkpoint(self, spark, tmp_path):
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+
+        e = self._edges(spark)
+        base = {r["doc_id"]: r["component_id"] for r in connected_components(e).collect()}
+        io = ParquetCheckpointIO(str(tmp_path / "cc"), "cfgA")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(e, io=io).collect()
+        }
+        assert got == base
+        import os as _os
+
+        rounds = sorted(d for d in _os.listdir(tmp_path / "cc") if d.startswith("cc_round"))
+        assert len(rounds) >= 2  # round 0 + at least one star round
+
+    def test_resume_mid_loop(self, spark, tmp_path):
+        """Kill-after-round-k: delete a later round's manifest, rerun —
+        completed rounds are reused, the rest recompute, result identical."""
+        import os as _os
+
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+
+        e = self._edges(spark)
+        root = str(tmp_path / "cc2")
+        io = ParquetCheckpointIO(root, "cfgB")
+        first = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(e, io=io).collect()
+        }
+        rounds = sorted(d for d in _os.listdir(root) if d.startswith("cc_round"))
+        # simulate a crash mid-round: the last round's manifest is gone
+        _os.remove(_os.path.join(root, rounds[-1], "_manifest.json"))
+        io2 = ParquetCheckpointIO(root, "cfgB")
+        again = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(e, io=io2).collect()
+        }
+        assert again == first

@@ -70,7 +70,9 @@ class TestPipeline:
         small = generate_pages(spark, 60, seed=SEED)
         root = str(tmp_path / "ckpt2")
         DedupPipeline(spark, CFG, checkpoint_root=root).run(small)
-        other = CFG.with_overrides(shingle_k=7)
+        # min_substring_len raised alongside: k=7 shifts the winnowing
+        # guarantee threshold above 512 (validate() enforces it)
+        other = CFG.with_overrides(shingle_k=7, min_substring_len=640)
         pipe2 = DedupPipeline(spark, other, checkpoint_root=root)
         pipe2.run(small)
         assert not any(m.reused for m in pipe2.metrics.stages)
@@ -122,3 +124,55 @@ class TestPipeline:
             .count()
         )
         assert n_violations == 0
+
+
+class TestConfigGuarantee:
+    def test_default_config_satisfies_winnow_guarantee(self):
+        DedupConfig().validate()
+
+    def test_validate_rejects_unguaranteed_substring_len(self):
+        with pytest.raises(ValueError, match="winnowing"):
+            DedupConfig(min_substring_len=100).validate()
+
+    def test_one_anchor_threshold_is_lower(self):
+        c2 = DedupConfig()
+        c1 = c2.with_overrides(min_shared_anchors=1)
+        assert c1.substring_guarantee_chars() < c2.substring_guarantee_chars()
+
+
+class TestAnchorOverflowRouting:
+    def test_overflowed_anchor_pair_still_reaches_lcs(self, spark):
+        """A substring dup whose anchors ALL sit in overflowed buckets
+        (anchor_cap=1 drops every shared anchor) must still pass via
+        the overflow->LCS route as long as any branch surfaced the
+        pair. Before the fix it silently lost the substring check."""
+        common = ("shared boilerplate sentence with many stable words "
+                  "keeps flowing onward through the page body " * 12)
+        a = common + " unique tail alpha beta gamma delta epsilon zeta"
+        b = common + " different ending words omega psi chi phi upsilon tau"
+        docs = [(1, a), (2, b)] + [
+            (10 + i, f"unrelated filler document number {i} with its own words "
+                     f"and nothing shared across {i} pages at all")
+            for i in range(8)
+        ]
+        pages = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+            "url", F.concat(F.lit("u"), F.col("doc_id"))
+        ).withColumn("lang", F.lit("en")).select("url", "doc_id", "text", "lang")
+        cfg = DedupConfig(
+            shuffle_partitions=4,
+            shingle_k=3,
+            winnow_window=8,
+            min_substring_len=200,
+            min_shared_anchors=1,
+            anchor_cap=1,       # every shared anchor bucket overflows
+            max_token_chars=12,
+        )
+        pipe = DedupPipeline(spark, cfg)
+        res = pipe.run(pages)
+        ver = {
+            (r["doc_a"], r["doc_b"]): (r["method"], r["passed"])
+            for r in res["verified_pairs"].collect()
+        }
+        assert (1, 2) in ver
+        method, passed = ver[(1, 2)]
+        assert passed and method == "suffix"

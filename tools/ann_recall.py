@@ -12,8 +12,11 @@ Usage: python tools/ann_recall.py [sf_dir] [threshold]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox-only shuffle scratch
 
 sys.path.insert(0, ".")
 

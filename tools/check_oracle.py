@@ -11,7 +11,10 @@ values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox-only shuffle scratch
 import time
 from datetime import datetime
 

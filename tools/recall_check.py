@@ -31,7 +31,10 @@ Usage: python tools/recall_check.py [n_docs] → prints JSON, writes RECALL.json
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox-only shuffle scratch
 import time
 
 sys.path.insert(0, ".")

@@ -42,6 +42,8 @@ import multiprocessing as mp
 import os
 import subprocess
 import sys
+
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox-only shuffle scratch
 import time
 
 SCRATCH = "/dev/shm/spark-scratch"
