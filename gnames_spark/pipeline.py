@@ -56,6 +56,7 @@ class DedupPipeline:
         enable_simhash: bool = True,
         enable_substring: bool = True,
         cc_checkpoint_rounds: bool = False,
+        route_overflow_to_lcs: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg or DedupConfig()
@@ -74,6 +75,19 @@ class DedupPipeline:
         # sandbox — localCheckpoint is faster and single-JVM local mode
         # cannot lose an executor. Turn ON for cluster runs.
         self.cc_checkpoint_rounds = cc_checkpoint_rounds and self.io is not None
+        # anchor_cap recall policy. The cap drops hot anchor buckets, so
+        # a pair whose shared anchors ALL sat in overflowed buckets loses
+        # its anchor tag and (by default) skips the substring LCS check —
+        # a DELIBERATE recall bound, not an accident: overflowed anchor
+        # buckets are boilerplate families at web scale (measured: at 30k
+        # synthetic pages 36 overflowed buckets covered 11k docs, and
+        # routing their Jaccard-failed pairs to LCS passed 143k
+        # chrome-sharing pairs — re-creating the quadratic flood the cap
+        # exists to stop AND merging pages that share only template
+        # chrome). Set route_overflow_to_lcs=True to trade that cost for
+        # full PartialExact recall on overflowed buckets; either way the
+        # overflow volume is logged per run (never silent).
+        self.route_overflow_to_lcs = route_overflow_to_lcs
         self._overflow_cache: list[DataFrame] = []
 
     # -- stage helper ------------------------------------------------
@@ -298,16 +312,18 @@ class DedupPipeline:
                 # shared anchor, so lsh/simhash-only failures cannot be
                 # substring dups — skipping them keeps the expensive
                 # LCS kernel off the boilerplate cross-pair flood.
-                # EXCEPTION: anchor_cap drops hot anchor buckets before
-                # pair generation, so a doc whose anchors overflowed may
-                # carry a genuine substring dup without the anchor tag —
-                # those pairs (flagged anchor_overflow by the candidates
-                # stage) are routed to LCS regardless of method, keeping
-                # the cap a work bound, not a recall bound.
-                failed = ver.filter(
-                    (~F.col("passed"))
-                    & ((F.col("method") == "anchor") | F.col("anchor_overflow"))
-                ).select("doc_a", "doc_b")
+                # EXCEPTION (opt-in): anchor_cap drops hot anchor
+                # buckets before pair generation, so a doc whose anchors
+                # overflowed may carry a genuine substring dup without
+                # the anchor tag. With route_overflow_to_lcs=True those
+                # pairs (flagged anchor_overflow by the candidates
+                # stage) are routed to LCS regardless of method — full
+                # PartialExact recall, at boilerplate-flood cost (see
+                # __init__ docstring for the measured tradeoff).
+                route = F.col("method") == "anchor"
+                if self.route_overflow_to_lcs:
+                    route = route | F.col("anchor_overflow")
+                failed = ver.filter((~F.col("passed")) & route).select("doc_a", "doc_b")
                 sub = substring_verify(failed, docs, cfg).filter("passed")
                 sub_edges = sub.select(
                     "doc_a", "doc_b", F.lit("suffix").alias("method"),

@@ -167,7 +167,7 @@ class TestAnchorOverflowRouting:
             anchor_cap=1,       # every shared anchor bucket overflows
             max_token_chars=12,
         )
-        pipe = DedupPipeline(spark, cfg)
+        pipe = DedupPipeline(spark, cfg, route_overflow_to_lcs=True)
         res = pipe.run(pages)
         ver = {
             (r["doc_a"], r["doc_b"]): (r["method"], r["passed"])
@@ -176,3 +176,22 @@ class TestAnchorOverflowRouting:
         assert (1, 2) in ver
         method, passed = ver[(1, 2)]
         assert passed and method == "suffix"
+
+    def test_default_routing_skips_overflow_but_logs(self, spark):
+        """Default policy: overflowed-anchor pairs do NOT flood LCS; the
+        drop volume is recorded in metrics (never silent)."""
+        common = ("shared boilerplate sentence with many stable words "
+                  "keeps flowing onward through the page body " * 12)
+        docs = [(i, common + f" tail variant {i} alpha beta gamma") for i in range(6)]
+        pages = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+            "url", F.concat(F.lit("u"), F.col("doc_id"))
+        ).withColumn("lang", F.lit("en")).select("url", "doc_id", "text", "lang")
+        cfg = DedupConfig(
+            shuffle_partitions=4, shingle_k=3, winnow_window=8,
+            min_substring_len=200, min_shared_anchors=1, anchor_cap=1,
+        )
+        pipe = DedupPipeline(spark, cfg)  # default: no overflow routing
+        res = pipe.run(pages)
+        res["verified_pairs"].count()
+        ov = [m for m in pipe.metrics.stages if m.stage == "anchor_overflow"]
+        assert ov and ov[0].extra.get("dropped_docs", 0) > 0
