@@ -271,9 +271,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     the compared set is the exact Hamming-<=7 ball."""
     docs = _docs(spark, sf_dir)
     fp = make_fnv_simhash_udf()
+    # persist: the chunk self-join + its bucket-count screen reference
+    # this tiny table 3x — without it the Arrow UDF re-runs per branch
     sims = docs.filter(token_count("text") > 0).select(
         "doc_id", fp(F.col("text")).alias("simhash")
-    )
+    ).persist()
     pairs, _ = simhash_candidates(
         sims, CFG.with_overrides(hamming_d=7, bucket_cap=1 << 30)
     )
@@ -297,7 +299,10 @@ def q_dedup_substring_pairs(spark, sf_dir):
     )
     docs = _docs(spark, sf_dir)
     au = make_anchor_udf(cfg)
-    anchors = docs.select("doc_id", F.explode(au(F.col("text"))).alias("anchor"))
+    # persist: the posting self-join + overflow count scan this table 3x
+    anchors = docs.select(
+        "doc_id", F.explode(au(F.col("text"))).alias("anchor")
+    ).persist()
     pairs, _ = anchor_pairs_from_anchors(anchors, cfg)
     return substring_verify(pairs, docs, cfg).filter("passed").select("doc_a", "doc_b")
 
