@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets BYTES, but the verify stages downstream
+        # of candidate joins are tiny-bytes / heavy-Python-CPU (pair ids
+        # + short texts feeding rolling-hash / Jaccard kernels). The
+        # default 1MB minPartitionSize floor collapses them to 1-2
+        # partitions and the pandas kernel runs single-threaded
+        # (measured: substring verify 44s -> 4s at sf0.1 with the floor
+        # lowered). parallelismFirst still targets default parallelism,
+        # so large shuffles are unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # prefer shuffled-hash over sort-merge: verification joins carry
         # ~2.4KB array payloads per row that SMJ would sort on both
