@@ -857,6 +857,38 @@ def q_x12_outlink(spark, sf_dir):
 # contract surface
 # --------------------------------------------------------------------------
 
+def q_a11_rollup(spark, sf_dir):
+    """A11: grouping sets via rollup — subtotal rows per (returnflag,
+    linestatus) plus per-returnflag and grand totals in one pass.
+    Absent in the reference (Go code aggregates each level separately);
+    Spark/DuckDB express all levels in a single map-side-combinable agg."""
+    li = _tpch(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def q_u4_intersect_except(spark, sf_dir):
+    """U4: INTERSECT / EXCEPT table ops — customers ordering in both
+    1996 and 1997 vs only 1996 (distinct set semantics both engines)."""
+    o = _tpch(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).withColumn("cohort", F.lit("both_years"))
+    only96 = y96.subtract(y97).withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only96)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash/LSH near-dup clusters on sf0.001 documents."""
     return q_dedup_representatives(spark, "/root/testdata/sf0.001")
@@ -908,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_year_proximity": q_x7_year_proximity,
         "x8_subterm_extract": q_x8_subterm_extract,
         "x12_outlink": q_x12_outlink,
+        "a11_rollup": q_a11_rollup,
+        "u4_intersect_except": q_u4_intersect_except,
     }
 
 
@@ -1267,6 +1301,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    printf('https://example.org/%s/%s/%d', source, lang, doc_id) AS outlink
             FROM documents
+        """,
+        "a11_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "u4_intersect_except": """
+            WITH y96 AS (SELECT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1996),
+                 y97 AS (SELECT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1997)
+            SELECT o_custkey, 'both_years' AS cohort
+            FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+            UNION ALL
+            SELECT o_custkey, 'only_1996' AS cohort
+            FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
         """,
     }
 
