@@ -19,6 +19,8 @@ pandas UDF (Arrow-batched), mirroring the MinHash kernel pattern.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -228,38 +230,119 @@ def blocked_cosine_pairs(
     )
 
 
+def signlsh_bit_agreement(cosine: float) -> float:
+    """P(one random hyperplane puts two vectors with this cosine on the
+    same side) = 1 − θ/π (Goemans–Williamson / Charikar 2002)."""
+    c = min(1.0, max(-1.0, float(cosine)))
+    return 1.0 - math.acos(c) / math.pi
+
+
+def signlsh_catch_probability(cosine: float, bands: int, bits: int) -> float:
+    """P(≥1 shared band bucket) = 1 − (1 − p^bits)^bands — the sign-LSH
+    analog of config.lsh_catch_probability for MinHash banding."""
+    p = signlsh_bit_agreement(cosine)
+    return 1.0 - (1.0 - p**bits) ** bands
+
+
+def optimal_sign_bands(
+    threshold: float,
+    band_bits: int = 8,
+    target_recall: float = 0.99,
+    max_bands: int = 256,
+) -> int:
+    """Fewest bands of ``band_bits`` hyperplanes whose catch probability
+    at cosine == ``threshold`` reaches ``target_recall`` (pairs above
+    the threshold catch strictly more often). Derived from the recall
+    target exactly like config.optimal_bands derives MinHash banding;
+    capped at max_bands because candidate volume grows ∝ bands."""
+    p_band = signlsh_bit_agreement(threshold) ** band_bits
+    if p_band >= 1.0:
+        return 1
+    if p_band <= 0.0:
+        return max_bands
+    need = math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+    return max(1, min(max_bands, math.ceil(need)))
+
+
+def make_banded_hyperplane_udf(dim: int, n_bands: int, band_bits: int, seed: int):
+    """pandas UDF: vector → array<long> of n_bands bucket hashes — each
+    band packs ``band_bits`` hyperplane signs (one (dim × b·r) matmul
+    per Arrow batch)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_bands * band_bits)).astype(np.float64)
+    weights = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = ((mat @ planes) >= 0).astype(np.uint64)
+        packed = (
+            bits.reshape(len(mat), n_bands, band_bits) * weights[None, None, :]
+        ).sum(axis=2, dtype=np.uint64).astype(np.int64)
+        return pd.Series(list(packed))
+
+    return bands_udf
+
+
 def ann_dup_pairs(
     vectors: DataFrame,
     threshold: float,
     dim: int,
-    n_bits: int = 12,
-    seeds: tuple[int, ...] = (42, 1042, 2042),
+    n_bands: int | None = None,
+    band_bits: int = 8,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """APPROXIMATE near-dup pairs: multi-probe sign-LSH — one bucket
-    table per seed, union of in-bucket exact-cosine pairs. The
-    10^12-scale sub-quadratic path (candidate volume ∝ bucket sizes,
-    not n²); recall vs the exact blocked path is measured by
-    tools/ann_recall.py and reported in BENCH.md, the way LSH banding
-    recall is derived for MinHash."""
-    out = None
-    for seed in seeds:
-        b = hyperplane_buckets(vectors, dim, n_bits, seed, id_col, vec_col)
-        lhs = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket")
-        rhs = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket")
-        pairs = (
-            lhs.join(rhs, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "_va", "_vb")
+    bucket_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """APPROXIMATE near-dup pairs: BANDED sign-LSH — n_bands buckets of
+    band_bits hyperplane signs per vector, posting-list self-join per
+    (band, bucket), exact-cosine verify on the candidates. Returns
+    (pairs, overflow_buckets).
+
+    The 10^12-scale sub-quadratic path: candidate volume ∝ bucket
+    sizes × bands, never n². ``n_bands`` defaults to the fewest bands
+    whose catch probability at cosine == threshold is ≥ 0.99
+    (:func:`optimal_sign_bands` — the same recall-derived banding as
+    MinHash LSH in config.py; a loose threshold like 0.4 needs ~180
+    bands of 8 bits, a near-dup threshold like 0.9 needs ~14, so the
+    cost of the index tracks how hard the query is). Measured recall
+    vs the exact blocked path: tools/ann_recall.py → ANN_RECALL.json.
+
+    ``bucket_cap``: drop (band, bucket) postings holding more than this
+    many vectors (returned in overflow, never silent) — same hot-bucket
+    policy as lsh.capped_buckets; dense embedding regions otherwise
+    create quadratic bucket blow-ups at crawl scale."""
+    if n_bands is None:
+        n_bands = optimal_sign_bands(threshold, band_bits)
+    sig = make_banded_hyperplane_udf(dim, n_bands, band_bits, seed)
+    posting = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(sig(F.col(vec_col))).alias("band", "bucket"),
+    )
+    spark = vectors.sparkSession
+    if bucket_cap is not None:
+        counts = posting.groupBy("band", "bucket").agg(F.count("*").alias("n_vecs"))
+        overflow = counts.filter(F.col("n_vecs") > bucket_cap)
+        posting = posting.join(
+            overflow.select("band", "bucket"), ["band", "bucket"], "left_anti"
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return (
-        out.dropDuplicates(["id_a", "id_b"])
+    else:
+        overflow = spark.createDataFrame(
+            [], "band int, bucket long, n_vecs long"
+        )
+    lhs = posting.select("band", "bucket", F.col("vid").alias("id_a"), F.col("vec").alias("_va"))
+    rhs = posting.select("band", "bucket", F.col("vid").alias("id_b"), F.col("vec").alias("_vb"))
+    pairs = (
+        lhs.join(rhs, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return pairs, overflow
 
 
 def embedding_dup_pairs(

@@ -1,12 +1,20 @@
-"""Measure ANN recall vs the exact blocked all-pairs path.
+"""Measure banded sign-LSH ANN recall vs the exact blocked all-pairs path.
 
-Runs `blocked_cosine_pairs` (exact ground truth) and `ann_dup_pairs`
-(multi-probe sign-LSH) over the embeddings table, reporting recall and
-candidate-volume reduction per probe count — the embedding analog of
-the LSH-banding catch-probability analysis in config.py. Writes
-ANN_RECALL.json.
+The sf embeddings table is near-random (no pairs above cosine 0.5), so a
+recall measurement on it alone is vacuous. This tool therefore PLANTS
+deterministic near-duplicates: for each of the first ``n_plants`` base
+vectors, a twin v' = v + sigma·g (seeded gaussian g) is added, giving
+cosine(v, v') ≈ 1/sqrt(1 + sigma²·d/|v|²) — sigma is chosen so plants
+land in the 0.9-0.99 band, the regime embedding near-dup dedup targets.
 
-Usage: python tools/ann_recall.py [sf_dir] [threshold]
+Ground truth = ``blocked_cosine_pairs`` (exact) over base+plants at the
+threshold; measured = ``ann_dup_pairs`` (banded sign-LSH) at several
+band counts, including the ``optimal_sign_bands``-derived operating
+point whose design catch probability at the threshold is ≥ 0.99 — the
+sign-LSH analog of the MinHash banding derivation in config.py.
+
+Writes ANN_RECALL.json. Usage:
+    python tools/ann_recall.py [sf_dir] [threshold] [n_plants]
 """
 
 from __future__ import annotations
@@ -20,55 +28,86 @@ os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox-only shuffle scratch
 
 sys.path.insert(0, ".")
 
+import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from gnames_spark.operators.embeddings import ann_dup_pairs, blocked_cosine_pairs  # noqa: E402
+from gnames_spark.operators.embeddings import (  # noqa: E402
+    ann_dup_pairs,
+    blocked_cosine_pairs,
+    optimal_sign_bands,
+    signlsh_catch_probability,
+)
 from gnames_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
+    n_plants = int(sys.argv[3]) if len(sys.argv) > 3 else 300
     spark = get_spark(app_name="ann_recall", shuffle_partitions=16)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
-    n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = [(int(r["vec_id"]), list(r["embedding"])) for r in emb.collect()]
+    n_base = len(base)
+    dim = len(base[0][1])
+
+    # plant near-dup twins: v' = v + sigma*g, sigma per-plant so cosines
+    # spread across [threshold, ~0.99] — deterministic (seeded)
+    rng = np.random.RandomState(7)
+    plants = []
+    max_id = max(i for i, _ in base)
+    tgt = np.linspace(threshold + 0.005, 0.99, n_plants)
+    for j in range(n_plants):
+        vid, v = base[j % n_base]
+        v = np.asarray(v, dtype=np.float64)
+        c = tgt[j]
+        # cosine(v, v + s·g) ≈ 1/sqrt(1 + s²·d/|v|²)  for g ~ N(0, I)
+        s = np.linalg.norm(v) / np.sqrt(dim) * np.sqrt(1.0 / c**2 - 1.0)
+        twin = v + s * rng.standard_normal(dim)
+        plants.append((max_id + 1 + j, [float(x) for x in twin]))
+    allv = spark.createDataFrame(base + plants, "vec_id long, embedding array<double>").persist()
+    allv.count()
 
     t0 = time.monotonic()
     exact = {
         (r["id_a"], r["id_b"])
-        for r in blocked_cosine_pairs(emb, threshold, n_blocks=8).collect()
+        for r in blocked_cosine_pairs(allv, threshold, n_blocks=8).collect()
     }
     exact_secs = time.monotonic() - t0
 
+    band_bits = 8
+    derived = optimal_sign_bands(threshold, band_bits)
     report = {
         "sf_dir": sf_dir,
         "threshold": threshold,
-        "n_vectors": n,
+        "n_base": n_base,
+        "n_plants": n_plants,
         "dim": dim,
         "exact_pairs": len(exact),
         "exact_secs": round(exact_secs, 2),
-        "probes": [],
+        "band_bits": band_bits,
+        "derived_bands": derived,
+        "design_catch_at_threshold": round(
+            signlsh_catch_probability(threshold, derived, band_bits), 4
+        ),
+        "sweeps": [],
     }
-    all_seeds = (42, 1042, 2042, 3042, 4042)
-    for k in (1, 3, 5):
-        seeds = all_seeds[:k]
+    for nb in sorted({1, 4, max(1, derived // 2), derived}):
         t0 = time.monotonic()
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in ann_dup_pairs(emb, threshold, dim, n_bits=12, seeds=seeds).collect()
-        }
+        pairs, _ = ann_dup_pairs(allv, threshold, dim, n_bands=nb, band_bits=band_bits)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         secs = time.monotonic() - t0
         recall = (len(got & exact) / len(exact)) if exact else 1.0
-        report["probes"].append(
+        report["sweeps"].append(
             {
-                "n_probes": k,
+                "n_bands": nb,
+                "design_catch": round(signlsh_catch_probability(threshold, nb, band_bits), 4),
                 "recall": round(recall, 4),
                 "found_pairs": len(got),
                 "secs": round(secs, 2),
             }
         )
-        print(f"probes={k} recall={recall:.4f} pairs={len(got)}/{len(exact)} [{secs:.1f}s]")
+        print(f"bands={nb} design={report['sweeps'][-1]['design_catch']} "
+              f"recall={recall:.4f} pairs={len(got)}/{len(exact)} [{secs:.1f}s]")
 
     with open("ANN_RECALL.json", "w") as f:
         json.dump(report, f, indent=1)
@@ -77,4 +116,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.exit(main())
