@@ -43,6 +43,38 @@ def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings")
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+    sort: bool = True,
+) -> DataFrame:
+    """Persist ``df`` as a BUCKETED table so every later equi-join or
+    aggregation on ``bucket_col`` is exchange-free: both sides of a
+    join bucketed by the same column into the same bucket count
+    co-locate, and the scan reports hashpartitioning so Catalyst plans
+    no shuffle (asserted in tests/test_plans.py).
+
+    This is the parquet stand-in for Iceberg's ``bucket(n, col)``
+    partition transform at production scale (north_rule): stage tables
+    that are re-joined repeatedly (signatures, shingle sets, candidate
+    pairs keyed by doc id) pay their doc_id shuffle ONCE at write time
+    instead of on every downstream join — at 10^12 docs the dominant
+    repeated cost. ``sort`` additionally orders within buckets so
+    sort-merge joins skip the sort.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def read_pages(
     spark: SparkSession, source: str, fmt: str = "parquet", **options
 ) -> DataFrame:

@@ -75,6 +75,35 @@ class TestJoinStrategies:
         ver = verify_pairs(pairs, sets, CFG, set_col="shingle_set")
         assert "SortMergeJoin" not in physical_plan(ver)
 
+    def test_bucketed_join_is_exchange_free(self, spark, docs, tmp_path):
+        """Stage tables bucketed by doc_id co-locate: a join of two
+        tables bucketed by the same column into the same bucket count
+        plans NO shuffle exchange on either side — the parquet stand-in
+        for Iceberg bucket(n, doc_id) partitioning, which is how the
+        repeated doc_id joins (signatures, shingle sets, verify
+        join-back) amortize their shuffle at 10^12 docs."""
+        from gnames_spark.plans.audit import physical_plan
+        from gnames_spark.sources.tables import write_bucketed
+
+        left = docs.select("doc_id", "lang")
+        right = docs.select("doc_id", F.length("text").alias("n_chars"))
+        lt = write_bucketed(left, "bkt_left", "doc_id", 4, path=str(tmp_path / "l"))
+        rt = write_bucketed(right, "bkt_right", "doc_id", 4, path=str(tmp_path / "r"))
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # bucketed x bucketed: a non-broadcast join with NO exchange
+            plan_bucketed = physical_plan(lt.join(rt, "doc_id"))
+            assert "BroadcastHashJoin" not in plan_bucketed
+            assert "Exchange hashpartitioning" not in plan_bucketed, plan_bucketed
+            # control: same join over plain parquet shuffles both sides
+            plan_plain = physical_plan(left.join(right.withColumnRenamed("n_chars", "nc"), "doc_id"))
+            assert "Exchange hashpartitioning" in plan_plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            spark.sql("DROP TABLE IF EXISTS bkt_left")
+            spark.sql("DROP TABLE IF EXISTS bkt_right")
+
 
 class TestPythonBoundary:
     def test_no_row_python_anywhere_in_pipeline(self, spark, docs):
