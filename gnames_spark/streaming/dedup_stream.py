@@ -14,8 +14,16 @@ sense there:
 - ``streaming_page_stats``: windowed per-language page counts + mean
   quality with late-data tolerance — the metrics surface as a stream.
 
-Near-dup LSH as a pure stream is intentionally NOT offered: candidate
-self-joins over an unbounded corpus need the persisted
+- ``streaming_simhash_screen``: custom STATEFUL near-dup screen via
+  ``applyInPandasWithState`` — arriving pages are flagged when their
+  64-bit SimHash is within a Hamming ball of a recently seen page.
+  The pigeonhole decomposition (d+1 chunks; any pair within distance d
+  shares ≥1 chunk) turns the unbounded self-join into per-chunk-bucket
+  GroupState holding only recent fingerprints, capped and
+  timeout-evicted, so state stays bounded on an infinite crawl.
+
+Full near-dup LSH as a pure stream is intentionally NOT offered:
+candidate self-joins over an unbounded corpus need the persisted
 signatures/buckets tables (stream-static join against the checkpointed
 batch state is the supported pattern and works with these same
 functions).
@@ -23,10 +31,25 @@ functions).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from gnames_spark.functions.simhash import make_fnv_simhash_udf
 from gnames_spark.functions.textstats import quality_score
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of uint64 (numpy<2 lacks bitwise_count)."""
+    if hasattr(np, "bitwise_count"):  # numpy >= 2
+        return np.bitwise_count(x)
+    v = x.view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(v, axis=1).sum(axis=1)
 
 
 def streaming_exact_dedup(
@@ -40,6 +63,118 @@ def streaming_exact_dedup(
         pages.withColumn("content_sha", F.sha2("text", 256))
         .withWatermark("warc_ts", watermark_delay)
         .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
+def streaming_simhash_screen(
+    pages: DataFrame,
+    hamming_d: int = 3,
+    state_cap_per_bucket: int = 256,
+    state_ttl_minutes: int | None = 60,
+) -> DataFrame:
+    """Streaming near-dup screen: (doc_id, dup_of, hamming) rows for
+    arriving pages whose SimHash is within ``hamming_d`` of a page seen
+    while its state lives.
+
+    Custom stateful operator (SURVEY §2.9 / brief: applyInPandasWithState):
+    each page's 64-bit FNV SimHash is split into ``hamming_d + 1``
+    chunks — the pigeonhole guarantee of operators/simhash_join.py, so
+    any pair within the ball shares ≥1 (chunk_id, chunk_val) key. Each
+    key's GroupState holds recent (doc_id, simhash) fingerprints:
+    capped at ``state_cap_per_bucket`` (hot boilerplate buckets stop
+    growing — the streaming form of the batch bucket cap; eviction is
+    oldest-first) and evicted wholesale after ``state_ttl_minutes``
+    without traffic (processing-time timeout), so state is bounded on
+    an unbounded crawl. ``state_ttl_minutes=None`` disables the timer
+    (cap-only bounding) — use for finite replays/tests where the
+    engine's timeout-driven empty micro-batches are unwanted. A pair sharing several chunks is emitted once
+    per chunk — callers needing set semantics dropDuplicates
+    (doc_id, dup_of) downstream, exactly like the batch candidate union.
+    """
+    n_chunks = hamming_d + 1
+    assert 64 % n_chunks == 0, "hamming_d+1 must divide 64"
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    sim_udf = make_fnv_simhash_udf()
+    sigs = pages.select(
+        F.xxhash64("url").alias("doc_id"), sim_udf(F.col("text")).alias("simhash")
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftrightunsigned("simhash", i * bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk_val"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+
+    out_type = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("doc_ids", T.ArrayType(T.LongType())),
+            T.StructField("sims", T.ArrayType(T.LongType())),
+        ]
+    )
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60 * 1000
+
+    def screen(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, sims = state.get
+            ids, sims = list(ids), list(sims)
+        else:
+            ids, sims = [], []
+        out_doc, out_dup, out_ham = [], [], []
+        for pdf in pdfs:
+            # deterministic within-batch order so (new, new) matches are
+            # reported against the smaller doc_id regardless of shuffle
+            pdf = pdf.sort_values("doc_id").drop_duplicates("doc_id")
+            for did, sim in zip(pdf["doc_id"], pdf["simhash"]):
+                did, sim = int(did), int(sim)
+                if sims:
+                    arr = np.array(sims, dtype=np.int64).view(np.uint64)
+                    ham = _popcount64(arr ^ np.uint64(sim & 0xFFFFFFFFFFFFFFFF))
+                    for j in np.flatnonzero(ham <= hamming_d):
+                        if ids[j] != did:
+                            out_doc.append(did)
+                            out_dup.append(ids[j])
+                            out_ham.append(int(ham[j]))
+                ids.append(did)
+                sims.append(sim)
+        if len(ids) > state_cap_per_bucket:  # oldest-first eviction
+            ids = ids[-state_cap_per_bucket:]
+            sims = sims[-state_cap_per_bucket:]
+        state.update((ids, sims))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup, "hamming": out_ham})
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return chunks.groupBy("chunk_id", "chunk_val").applyInPandasWithState(
+        screen,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=timeout_conf,
     )
 
 
