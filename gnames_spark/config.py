@@ -114,6 +114,11 @@ class DedupConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048
     max_cc_iterations: int = 50
+    # salt the CC star-join's hot keys over this many shuffle buckets
+    # (exact semantics — mins replicated, neighbors salted by hash(dst);
+    # north_rule: CC loop "salted against hot buckets"). None = rely on
+    # AQE skew-join splitting alone, fine below megacluster scale.
+    cc_salt_buckets: int | None = None
 
     # optional pre-filter (F7 analog: lang filter,
     # /root/reference/internal/io/pgio/vern_query.go:84-93)

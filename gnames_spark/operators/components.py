@@ -28,6 +28,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salted_min_join(nb: DataFrame, mins: DataFrame, salt_buckets: int | None) -> DataFrame:
+    """Join the per-node min table back onto the neighbor list, spreading
+    hot keys over ``salt_buckets`` shuffle partitions with EXACT
+    semantics (north_rule: the CC loop is "salted against hot buckets").
+
+    A boilerplate megacluster puts 10^7+ neighbor rows under ONE ``src``
+    key — a single shuffle partition — while ``mins`` has exactly one
+    row per key. Replicating ``mins`` ×salt (narrow: two longs) and
+    salting ``nb`` deterministically by hash(dst) splits the hot key's
+    rows across salt_buckets partitions; every (src, dst) row still
+    meets its min exactly once. ``None`` skips salting (AQE skew-join
+    splitting alone — fine at sandbox scale, opt in for crawl-scale
+    clusters).
+    """
+    if salt_buckets is None:
+        return nb.join(mins, "src")
+    spark = nb.sparkSession
+    salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+    mins_rep = mins.crossJoin(salts)
+    nb_salted = nb.withColumn(
+        "_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int")
+    )
+    return nb_salted.join(mins_rep, ["src", "_salt"]).drop("_salt")
+
+
 def _normalize(edges: DataFrame) -> DataFrame:
     """Undirected canonical form: src > dst, no self-loops, distinct."""
     return (
@@ -39,12 +64,14 @@ def _normalize(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Attach every neighbor v > u to min(Γ(u) ∪ {u}).
 
     No dedup here: duplicate edges don't change any min() downstream,
     and small-star dedups once at the end of the round — one shuffle
-    saved per iteration.
+    saved per iteration. The per-node min is a map-side-combined hash
+    agg (hot nodes don't skew it); the min join-back is the skewed op
+    and is salted when ``salt_buckets`` is set.
     """
     nb = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (
@@ -53,14 +80,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .select("src", F.least("_mn", "src").alias("m"))
     )
     return (
-        nb.join(mins, "src")
+        _salted_min_join(nb, mins, salt_buckets)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Attach every smaller neighbor (and u itself) to min(Γ(u));
     output is canonical (src > dst, distinct)."""
     e = edges.select(
@@ -69,7 +96,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     mins = e.groupBy("src").agg(F.min("dst").alias("m"))
     with_self = e.select("src", "dst").union(mins.select("src", F.col("src").alias("dst")))
     return (
-        with_self.join(mins, "src")
+        _salted_min_join(with_self, mins, salt_buckets)
         .filter(F.col("dst") != F.col("m"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .dropDuplicates()
@@ -92,6 +119,7 @@ def connected_components(
     checkpoint: bool = True,
     io=None,
     stage_prefix: str = "cc_round",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (doc_id, component_id) assignments.
 
@@ -130,7 +158,11 @@ def connected_components(
     converged = False
     for i in range(max_iterations):
         prev_e = e
-        e = _cut(None, i + 1, build=lambda: _small_star(_large_star(prev_e)))
+        e = _cut(
+            None,
+            i + 1,
+            build=lambda: _small_star(_large_star(prev_e, salt_buckets), salt_buckets),
+        )
         cur = _checksum(e)
         if cur == prev:
             converged = True

@@ -355,6 +355,7 @@ class DedupPipeline:
                 edges,
                 max_iterations=cfg.max_cc_iterations,
                 io=self.io if self.cc_checkpoint_rounds else None,
+                salt_buckets=cfg.cc_salt_buckets,
             )
             # exact-dup members share content_sha with the signed
             # representative; they inherit its component through the

@@ -193,6 +193,26 @@ class TestComponents:
         comp_of = {n: min(m) for m in oracle.values() for n in m}
         assert got == comp_of
 
+    def test_salted_cc_identical_on_megacluster(self, spark):
+        """Salting the star-join hot keys (north_rule) must not change
+        assignments: a 2,000-member megacluster + side clusters resolve
+        identically with salt_buckets on and off, and match the
+        union-find oracle component minima."""
+        mega = [(1, i) for i in range(2, 2001)]  # hot hub node
+        side = [(5000, 5001), (5001, 5002), (7000, 7001)]
+        df = spark.createDataFrame(mega + side, ["src", "dst"])
+        plain = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(df, max_iterations=20).collect()
+        }
+        salted = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(df, max_iterations=20, salt_buckets=4).collect()
+        }
+        assert salted == plain
+        assert all(salted[n] == 1 for n in range(1, 2001))
+        assert salted[5002] == 5000 and salted[7001] == 7000
+
     def test_all_components_attaches_singletons(self, spark):
         docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
         edges = spark.createDataFrame([(0, 1), (2, 3)], ["src", "dst"])
