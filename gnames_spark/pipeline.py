@@ -267,9 +267,13 @@ class DedupPipeline:
             # the same doc_id shuffle the hydration would have paid.
             # Round-1 measurement: the simhash branch alone fed ~500k
             # boilerplate pairs into verify at 120k docs; most die here.
-            # anchor-tagged / overflow-flagged pairs are exempt (their
-            # Jaccard failure routes them to the substring LCS check, a
-            # path that must survive regardless of set-size skew).
+            # anchor-tagged pairs are exempt (their Jaccard failure
+            # routes them to the substring LCS check, a path that must
+            # survive regardless of set-size skew); overflow-flagged
+            # pairs are exempt ONLY when route_overflow_to_lcs is on —
+            # with routing off (default) they can never reach LCS, so
+            # exempting them just bought 143k useless hydrations per 30k
+            # docs (measured: every one died at Jaccard).
             nsz = signatures.select("doc_id", "n_shingles")
             na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
             nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
@@ -278,7 +282,9 @@ class DedupPipeline:
                 F.least("_na", "_nb")
                 < F.lit(cfg.jaccard_threshold) * F.greatest("_na", "_nb")
             )
-            lcs_exempt = (F.col("method") == "anchor") | F.col("anchor_overflow")
+            lcs_exempt = F.col("method") == "anchor"
+            if self.route_overflow_to_lcs:
+                lcs_exempt = lcs_exempt | F.col("anchor_overflow")
             prunable = ratio_fail & ~lcs_exempt & F.col("_na").isNotNull() & F.col("_nb").isNotNull()
             pruned = (
                 sized.filter(prunable)
