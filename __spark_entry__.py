@@ -770,6 +770,28 @@ def q_a3_group_synth_id(spark, sf_dir):
     )
 
 
+def q_a6_group_stats(spark, sf_dir):
+    """A6: group composition stats — per source (data-source analog),
+    the language histogram reduced to main-lang + its percentage: the
+    verifier's kingdom-% / main-taxon rollup
+    (/root/reference/pkg/gnames_verif.go:126-156). Two stacked
+    map-side-combinable aggregations — no window, so one megasource
+    never pins a single task (same skew argument as representatives.py).
+    Tie-break on equal counts: lexicographically smallest lang (the
+    min_by struct orders by (-n, lang); oracle mirrors with ORDER BY
+    n DESC, lang ASC)."""
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.min_by(
+            "lang", F.struct((-F.col("n")).alias("neg_n"), F.col("lang"))
+        ).alias("main_lang"),
+        F.round(F.max("n") * 100.0 / F.sum("n"), 4).alias("main_pct"),
+    )
+
+
 def q_x6_collation_fold(spark, sf_dir):
     """X6: collation-aware (diacritic/case-insensitive) comparison —
     accent the part name deterministically, fold it back, and prove the
@@ -942,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_outlink": q_x12_outlink,
         "a11_rollup": q_a11_rollup,
         "u4_intersect_except": q_u4_intersect_except,
+        "a6_group_stats": q_a6_group_stats,
     }
 
 
@@ -1320,6 +1343,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_custkey, 'only_1996' AS cohort
             FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        """,
+        "a6_group_stats": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source,
+                   sum(n)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_langs,
+                   first(lang ORDER BY n DESC, lang ASC) AS main_lang,
+                   round(max(n) * 100.0 / sum(n), 4)::DOUBLE AS main_pct
+            FROM c GROUP BY source
         """,
     }
 
