@@ -1,0 +1,152 @@
+"""spark-submit entry point for the dedup pipeline (SURVEY M7).
+
+The north_rule ships the job "via spark-submit --py-files to clusters
+of N and 4N executors"; this module is that surface. Typical cluster
+invocation:
+
+    python tools/make_pyfiles.py dist/gnames_spark.zip
+    spark-submit --master yarn --deploy-mode cluster \
+        --num-executors 1000 --executor-cores 4 \
+        --conf spark.sql.shuffle.partitions=8192 \
+        --py-files dist/gnames_spark.zip \
+        jobs/dedup_job.py \
+        --input s3://bucket/crawl/pages --output s3://bucket/crawl/dedup \
+        --checkpoint-dir s3://bucket/crawl/ckpt --cc-checkpoint-rounds
+
+Design rules:
+- The script never chooses a master, executor topology, or driver
+  sizing — ``get_spark(inherit_master=True)`` leaves all of that to the
+  spark-submit command line (the reference is a single-process service
+  configured by env/yaml, ``/root/reference/pkg/config/env.go:12-65``;
+  here the cluster manager owns the process model).
+- Every signature-affecting knob (shingle_k, num_perms, bands, rows,
+  threshold, winnowing) is a CLI flag mapping 1:1 onto ``DedupConfig``,
+  so the recall-gate config is pinned per run; the effective config and
+  per-stage metrics are written next to the outputs for the lineage /
+  metrics clause of the north_rule.
+- Outputs are written with Spark writers only (no driver-local I/O), so
+  ``--output`` may be any Hadoop-visible URI (s3a://, hdfs://, file:/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict
+
+from pyspark.sql import functions as F
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gnames-spark-dedup",
+        description="Near-duplicate detection + clustering over web pages",
+    )
+    p.add_argument("--input", required=True,
+                   help="parquet path of pages (url, html|text[, lang])")
+    p.add_argument("--output", required=True,
+                   help="output root; writes <out>/{components,representatives,"
+                        "cluster_summary,verified_pairs,run} parquet/json")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage checkpoint root (enables resume; see checkpoint.py)")
+    p.add_argument("--cc-checkpoint-rounds", action="store_true",
+                   help="route each CC round through the reliable checkpoint "
+                        "store (survives executor loss mid-loop)")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--limit", type=int, default=None,
+                   help="optional row cap for smoke runs")
+    p.add_argument("--no-simhash", action="store_true")
+    p.add_argument("--no-substring", action="store_true")
+    p.add_argument("--route-overflow-to-lcs", action="store_true")
+    # DedupConfig knobs (defaults live in config.py; None = keep default)
+    for flag, typ in [
+        ("shingle-k", int), ("num-perms", int), ("bands", int),
+        ("rows-per-band", int), ("minhash-seed", int), ("hamming-d", int),
+        ("jaccard-threshold", float), ("min-substring-len", int),
+        ("winnow-window", int), ("bucket-cap", int), ("anchor-cap", int),
+        ("min-shared-anchors", int), ("shuffle-partitions", int),
+        ("max-cc-iterations", int), ("cc-salt-buckets", int),
+        ("lang-filter", str),
+    ]:
+        p.add_argument(f"--{flag}", type=typ, default=None)
+    return p
+
+
+def _config_from_args(args: argparse.Namespace):
+    from gnames_spark.config import DedupConfig
+
+    overrides = {}
+    for field in (
+        "shingle_k", "num_perms", "bands", "rows_per_band", "minhash_seed",
+        "hamming_d", "jaccard_threshold", "min_substring_len",
+        "winnow_window", "bucket_cap", "anchor_cap", "min_shared_anchors",
+        "shuffle_partitions", "max_cc_iterations", "cc_salt_buckets",
+        "lang_filter",
+    ):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
+    return DedupConfig(**overrides)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from gnames_spark.pipeline import DedupPipeline
+    from gnames_spark.session import get_spark
+
+    cfg = _config_from_args(args)
+    spark = get_spark(
+        app_name="gnames_spark_dedup",
+        shuffle_partitions=args.shuffle_partitions,
+        inherit_master=True,
+    )
+
+    pages = spark.read.parquet(args.input)
+    if args.limit:
+        pages = pages.limit(args.limit)
+    if "url" not in pages.columns:
+        # documents-table shape (doc_id, text, ...): synthesize the url
+        # the same way bench.py does so prepare_docs sees its contract
+        pages = pages.withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+        )
+
+    pipe = DedupPipeline(
+        spark,
+        cfg,
+        checkpoint_root=args.checkpoint_dir,
+        run_id=args.run_id,
+        enable_simhash=not args.no_simhash,
+        enable_substring=not args.no_substring,
+        cc_checkpoint_rounds=args.cc_checkpoint_rounds,
+        route_overflow_to_lcs=args.route_overflow_to_lcs,
+    )
+    res = pipe.run(pages)
+
+    out = args.output.rstrip("/")
+    for name in ("components", "representatives", "cluster_summary",
+                 "verified_pairs"):
+        res[name].write.mode("overwrite").parquet(f"{out}/{name}")
+
+    run_doc = {
+        "run_id": pipe.metrics.run_id,
+        "config": asdict(cfg),
+        "config_hash": cfg.config_hash(),
+        "stages": [
+            {"stage": m.stage, "rows": m.rows, "secs": round(m.secs, 3)}
+            for m in pipe.metrics.stages
+        ],
+    }
+    line = json.dumps(run_doc, default=str)
+    # Spark writer (not driver-local open()) so s3a://hdfs:// outputs work
+    spark.createDataFrame([(line,)], "json string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{out}/run")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

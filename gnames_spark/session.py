@@ -21,7 +21,30 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    inherit_master: bool = False,
 ) -> SparkSession:
+    """Build the tuned session.
+
+    ``inherit_master=True`` is the spark-submit path: no ``.master()``
+    and no driver-memory override, so the cluster manager, executor
+    topology, and driver sizing chosen on the ``spark-submit`` command
+    line win; only the engine's semantic/tuning confs (AQE, Arrow, SHJ
+    preference, UTC) are applied, and even those yield to explicit
+    ``--conf`` because an existing session's conf is never replaced by
+    ``getOrCreate``.
+    """
+    if inherit_master:
+        builder = SparkSession.builder.appName(app_name)
+        if shuffle_partitions is not None:
+            builder = builder.config(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        builder = _tuning(builder)
+        for k, v in (extra_conf or {}).items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -57,6 +80,25 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local-only sizing: on spark-submit (inherit_master) the UI and
+        # driver memory belong to the submitter
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    builder = _tuning(builder)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _tuning(builder):
+    """Engine tuning shared by local and spark-submit sessions."""
+    return (
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalescing targets BYTES, but the verify stages downstream
@@ -77,13 +119,4 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    if local_dir:
-        builder = builder.config("spark.local.dir", local_dir)
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    return spark
