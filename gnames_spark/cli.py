@@ -44,7 +44,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description="Near-duplicate detection + clustering over web pages",
     )
     p.add_argument("--input", required=True,
-                   help="parquet path of pages (url, html|text[, lang])")
+                   help="pages table: parquet path, or catalog table name "
+                        "with --input-format iceberg (url, html|text[, lang])")
+    p.add_argument("--input-format", default="parquet",
+                   help="parquet (path) | iceberg (catalog table; needs the "
+                        "iceberg-spark-runtime jar on the cluster)")
     p.add_argument("--output", required=True,
                    help="output root; writes <out>/{components,representatives,"
                         "cluster_summary,verified_pairs,run} parquet/json")
@@ -95,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from gnames_spark.pipeline import DedupPipeline
     from gnames_spark.session import get_spark
+    from gnames_spark.sources.tables import read_pages
 
     cfg = _config_from_args(args)
     spark = get_spark(
@@ -103,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         inherit_master=True,
     )
 
-    pages = spark.read.parquet(args.input)
+    pages = read_pages(spark, args.input, fmt=args.input_format)
     if args.limit:
         pages = pages.limit(args.limit)
     if "url" not in pages.columns:

@@ -25,6 +25,41 @@ from tools.make_pyfiles import build_zip, sha256_of  # noqa: E402
 SPARK_SUBMIT = shutil.which("spark-submit")
 
 
+def test_cli_args_map_onto_config():
+    from gnames_spark.cli import _config_from_args, build_arg_parser
+
+    args = build_arg_parser().parse_args(
+        [
+            "--input", "in", "--output", "out",
+            "--num-perms", "64", "--bands", "16", "--rows-per-band", "4",
+            "--jaccard-threshold", "0.7", "--lang-filter", "en",
+            "--cc-salt-buckets", "8",
+        ]
+    )
+    cfg = _config_from_args(args)
+    cfg.validate()
+    assert (cfg.num_perms, cfg.bands, cfg.rows_per_band) == (64, 16, 4)
+    assert cfg.jaccard_threshold == 0.7
+    assert cfg.lang_filter == "en"
+    assert cfg.cc_salt_buckets == 8
+    # untouched knobs keep their defaults (recall-gate reproducibility)
+    from gnames_spark.config import DedupConfig
+
+    assert cfg.shingle_k == DedupConfig().shingle_k
+
+
+def test_cli_rejects_invalid_banding():
+    import pytest as _pytest
+
+    from gnames_spark.cli import _config_from_args, build_arg_parser
+
+    args = build_arg_parser().parse_args(
+        ["--input", "in", "--output", "out", "--num-perms", "100", "--bands", "7"]
+    )
+    with _pytest.raises(ValueError):
+        _config_from_args(args).validate()
+
+
 def test_pyfiles_zip_is_deterministic(tmp_path):
     a = build_zip(str(tmp_path / "a.zip"))
     b = build_zip(str(tmp_path / "b.zip"))
