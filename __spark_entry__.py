@@ -34,7 +34,11 @@ from gnames_spark.functions.textstats import (
     token_count,
 )
 from gnames_spark.operators.components import all_components, connected_components
-from gnames_spark.operators.embeddings import blocked_cosine_pairs, cosine_topk
+from gnames_spark.operators.embeddings import (
+    ann_dup_pairs,
+    blocked_cosine_pairs,
+    cosine_topk,
+)
 from gnames_spark.operators.lsh import lsh_candidates
 from gnames_spark.operators.simhash_join import simhash_candidates
 from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
@@ -380,6 +384,23 @@ def q_emb_sim_pairs(spark, sf_dir):
     (operators/embeddings.py:blocked_cosine_pairs)."""
     emb = _emb(spark, sf_dir)
     return blocked_cosine_pairs(emb, 0.4, n_blocks=8, round_digits=5)
+
+
+def q_emb_ann_pairs(spark, sf_dir):
+    """The sub-quadratic ANN path under the FULL oracle: banded sign-LSH
+    (band count DERIVED from the threshold via optimal_sign_bands —
+    1-(1-p^r)^b >= 0.99 at cosine == tau) posting self-join + exact
+    cosine verify (operators/embeddings.py:ann_dup_pairs). Precision is
+    1 by construction (exact verify); recall at tau=0.4 with the
+    derived 181x8-bit bands is >= 0.99 per pair BY DESIGN and the
+    seeded hyperplanes are deterministic, so the result is a fixed set
+    — measured equal to the brute-force pair set on this table, which
+    is exactly what the oracle asserts. The candidate volume is
+    bucket-bounded (never n^2): this row is the CORRECTNESS check on
+    the operator the 10^12-doc embedding dedup actually runs."""
+    emb = _emb(spark, sf_dir)
+    pairs, _ = ann_dup_pairs(emb, 0.4, dim=64)
+    return pairs
 
 
 # --------------------------------------------------------------------------
@@ -965,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_rollup": q_a11_rollup,
         "u4_intersect_except": q_u4_intersect_except,
         "a6_group_stats": q_a6_group_stats,
+        "emb_ann_pairs": q_emb_ann_pairs,
     }
 
 
@@ -1355,6 +1377,12 @@ def oracle_sql() -> dict[str, str]:
                    first(lang ORDER BY n DESC, lang ASC) AS main_lang,
                    round(max(n) * 100.0 / sum(n), 4)::DOUBLE AS main_pct
             FROM c GROUP BY source
+        """,
+        "emb_ann_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         """,
     }
 
