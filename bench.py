@@ -56,6 +56,7 @@ def _bench_queries(spark, sf_dir):
         "events_sessionization",
         "emb_topk",
         "emb_sim_pairs",
+        "emb_ann_pairs",
         "text_token_counts",
         "text_fingerprint",
         "s6_faceted_search",

@@ -264,6 +264,55 @@ def optimal_sign_bands(
     return max(1, min(max_bands, math.ceil(need)))
 
 
+def derive_sign_banding(
+    threshold: float,
+    n_vectors: int,
+    target_recall: float = 0.99,
+    candidates_per_vec: float = 8.0,
+    max_bands: int = 256,
+    max_bits: int = 32,
+) -> tuple[int, int]:
+    """Jointly derive (band_bits, n_bands) from the threshold AND the
+    corpus size.
+
+    Why band WIDTH must scale with n (measured, ANN_SCALE.json): with
+    fixed r-bit bands the random-collision candidate volume is
+    bands · n²/2 · 2^-r — still Θ(n²), just with a small constant; at
+    100k random 64-dim vectors the 8-bit default produced ~avg-390
+    buckets and the "sub-quadratic" path ran 9× slower than the exact
+    GEMM. Sub-quadratic behavior requires 2^r ≳ n: this picks the
+    cheapest (bits, bands) pair — cost modeled as bands·bits, the
+    hyperplane/posting volume — such that (a) catch probability at
+    cosine == threshold reaches ``target_recall`` within ``max_bands``
+    and (b) expected random collisions bands·n·2^-bits stay under
+    ``candidates_per_vec`` (2^-bits is the per-band collision rate of
+    ISOTROPIC vectors; real embedding corpora are correlated, which is
+    what the bucket_cap + overflow log absorb).
+
+    Loose thresholds are honestly expensive: at τ≈0.4 no (bits ≤ 32,
+    bands ≤ max_bands) pair satisfies both constraints for large n —
+    the fallback keeps recall (constraint a) and accepts the candidate
+    volume, because dropping recall silently is never acceptable
+    (north_rule)."""
+    best = None
+    fallback = None
+    for bits in range(4, max_bits + 1):
+        bands = optimal_sign_bands(threshold, bits, target_recall, max_bands)
+        if signlsh_catch_probability(threshold, bands, bits) < target_recall:
+            break  # wider bands only get harder to catch with — stop
+        # collision rate bands·2^-bits falls monotonically with bits
+        # (bands grows slower than 2^bits), so the LAST recall-feasible
+        # bits is the fewest-false-candidates fallback
+        fallback = (bits, bands, bands * bits)
+        if bands * n_vectors * 2.0 ** (-bits) > candidates_per_vec:
+            continue
+        cost = bands * bits
+        if best is None or cost < best[2]:
+            best = (bits, bands, cost)
+    chosen = best or fallback or (8, optimal_sign_bands(threshold, 8, target_recall, max_bands), 0)
+    return chosen[0], chosen[1]
+
+
 def make_banded_hyperplane_udf(dim: int, n_bands: int, band_bits: int, seed: int):
     """pandas UDF: vector → array<long> of n_bands bucket hashes — each
     band packs ``band_bits`` hyperplane signs (one (dim × b·r) matmul
@@ -294,6 +343,7 @@ def ann_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
+    n_vectors_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """APPROXIMATE near-dup pairs: BANDED sign-LSH — n_bands buckets of
     band_bits hyperplane signs per vector, posting-list self-join per
@@ -309,16 +359,35 @@ def ann_dup_pairs(
     cost of the index tracks how hard the query is). Measured recall
     vs the exact blocked path: tools/ann_recall.py → ANN_RECALL.json.
 
+    ``n_vectors_hint``: pass the (approximate) corpus size to derive
+    BOTH band_bits and n_bands via :func:`derive_sign_banding` — band
+    width then grows with log2(n) so random-collision candidate volume
+    stays ~linear (measured: with the fixed 8-bit default the path
+    goes quadratic past ~10^4 vectors, ANN_SCALE.json). Explicit
+    ``n_bands``/``band_bits`` win over the hint; the hint is the knob
+    every at-scale caller should set.
+
     ``bucket_cap``: drop (band, bucket) postings holding more than this
     many vectors (returned in overflow, never silent) — same hot-bucket
     policy as lsh.capped_buckets; dense embedding regions otherwise
-    create quadratic bucket blow-ups at crawl scale."""
+    create quadratic bucket blow-ups at crawl scale.
+
+    Plan shape: the posting table carries ONLY (band, bucket, vid) —
+    never the vector — so the n_bands-way explode shuffles ~20 bytes
+    per posting instead of replicating the embedding n_bands times
+    (at 181 bands × 768 floats that replication would be ~1 MB/vector
+    through the exchange). Vectors are hydrated by joining back on
+    vec_id for just the DEDUPED candidate pairs — the same join-back
+    hydration economics as the text pipeline's shingle-set recompute
+    (pipeline.verified)."""
     if n_bands is None:
-        n_bands = optimal_sign_bands(threshold, band_bits)
+        if n_vectors_hint is not None:
+            band_bits, n_bands = derive_sign_banding(threshold, n_vectors_hint)
+        else:
+            n_bands = optimal_sign_bands(threshold, band_bits)
     sig = make_banded_hyperplane_udf(dim, n_bands, band_bits, seed)
     posting = vectors.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
         F.posexplode(sig(F.col(vec_col))).alias("band", "bucket"),
     )
     spark = vectors.sparkSession
@@ -332,12 +401,19 @@ def ann_dup_pairs(
         overflow = spark.createDataFrame(
             [], "band int, bucket long, n_vecs long"
         )
-    lhs = posting.select("band", "bucket", F.col("vid").alias("id_a"), F.col("vec").alias("_va"))
-    rhs = posting.select("band", "bucket", F.col("vid").alias("id_b"), F.col("vec").alias("_vb"))
-    pairs = (
+    lhs = posting.select("band", "bucket", F.col("vid").alias("id_a"))
+    rhs = posting.select("band", "bucket", F.col("vid").alias("id_b"))
+    cands = (
         lhs.join(rhs, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -260,6 +260,31 @@ class TestTokenizerProperties:
             assert np.array_equal(th, expect)
 
 
+class TestSignBandingDerivation:
+    @given(
+        st.floats(min_value=0.5, max_value=0.98),
+        st.integers(min_value=100, max_value=10**9),
+    )
+    def test_recall_constraint_always_met(self, tau, n):
+        """derive_sign_banding never trades the 0.99 design catch away —
+        when the collision budget is unreachable it falls back to the
+        widest recall-feasible bands, not a cheaper/leakier pair."""
+        from gnames_spark.operators.embeddings import (
+            derive_sign_banding,
+            signlsh_catch_probability,
+        )
+
+        bits, bands = derive_sign_banding(tau, n)
+        assert 4 <= bits <= 32 and 1 <= bands <= 256
+        assert signlsh_catch_probability(tau, bands, bits) >= 0.99
+
+    def test_band_width_grows_with_corpus(self):
+        from gnames_spark.operators.embeddings import derive_sign_banding
+
+        widths = [derive_sign_banding(0.9, n)[0] for n in (10**3, 10**5, 10**7)]
+        assert widths == sorted(widths) and widths[0] < widths[-1]
+
+
 class TestWinnowingProperties:
     K = 3       # shingle_k
     WWIN = 4    # winnow_window
