@@ -260,6 +260,72 @@ class TestTokenizerProperties:
             assert np.array_equal(th, expect)
 
 
+class TestFnvTokenHash:
+    @given(st.lists(st.text(min_size=1, max_size=14,
+                            alphabet=st.characters(blacklist_categories=("Cs",),
+                                                   max_codepoint=0x2FFFF)),
+                    min_size=1, max_size=30))
+    def test_matches_scalar_reference(self, tokens):
+        """Vectorized FNV-1a token hash (the DuckDB-reproducible SimHash
+        fingerprint input, functions/simhash.py) == scalar FNV-1a over
+        the first FNV_PREFIX codepoints + length, both 32-bit lanes."""
+        from gnames_spark.functions.simhash import (
+            FNV_BASIS1,
+            FNV_BASIS2,
+            FNV_PREFIX,
+            FNV_PRIME,
+            fnv_token_hashes,
+        )
+
+        def scalar(tok: str, basis: int) -> int:
+            h = basis
+            for cp in tok[:FNV_PREFIX]:
+                h = ((h ^ ord(cp)) * FNV_PRIME) & 0xFFFFFFFF
+            return ((h ^ len(tok)) * FNV_PRIME) & 0xFFFFFFFF
+
+        flat = np.array(tokens, dtype=object)
+        lens = np.array([len(t) for t in tokens], dtype=np.int64)
+        got = fnv_token_hashes(flat, lens)
+        expect = [
+            (scalar(t, FNV_BASIS1) << 32) | scalar(t, FNV_BASIS2) for t in tokens
+        ]
+        assert [int(v) for v in got] == expect
+
+
+class TestCollationFoldParity:
+    @given(st.text(alphabet="àáâãäåèéêëìíîïòóôõöùúûüýÿçñšžčćřěů"
+                            "abcdefghijklmnopqrstuvwxyz"
+                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ ÀÁÂÃÄÅÈÉÊËÇÑ0123456789.-",
+                   max_size=40))
+    def test_python_fold_matches_duckdb_strip_accents(self, s):
+        """The documented Spark↔DuckDB parity claim of functions/
+        collation.py, checked against a REAL DuckDB strip_accents on the
+        mapped alphabet (upper-case accented chars lower() into the map
+        first, same as the JVM path)."""
+        import duckdb
+
+        from gnames_spark.functions.collation import ACCENTED, PLAIN
+
+        py_fold = s.lower().translate(str.maketrans(ACCENTED, PLAIN))
+        duck = duckdb.sql(
+            "SELECT strip_accents(lower(?))", params=[s]
+        ).fetchone()[0]
+        assert py_fold == duck
+
+    def test_accent_map_is_nfd_base_letters(self):
+        """Every mapped char's NFD decomposition is its PLAIN base plus
+        combining marks only — the invariant that makes the explicit
+        translate() map equivalent to strip_accents on this set."""
+        import unicodedata
+
+        from gnames_spark.functions.collation import ACCENTED, PLAIN
+
+        for a, p in zip(ACCENTED, PLAIN):
+            decomp = unicodedata.normalize("NFD", a)
+            assert decomp[0] == p
+            assert all(unicodedata.combining(c) for c in decomp[1:])
+
+
 class TestSignBandingDerivation:
     @given(
         st.floats(min_value=0.5, max_value=0.98),
