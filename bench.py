@@ -89,9 +89,11 @@ def _bench_queries(spark, sf_dir):
 
     # throughput at amortizing scale: the sf corpora are small enough
     # (500-5000 docs) that the pipeline number above is dominated by
-    # fixed per-job costs; a 60k-page synthetic corpus (same generator
-    # as the scaling bench) shows the sustained docs/sec the engine
-    # actually delivers
+    # fixed per-job costs; synthetic corpora (same generator as the
+    # scaling bench) show the sustained docs/sec the engine actually
+    # delivers. Two tiers: 60k (kept for cross-round comparability)
+    # and 120k (where fixed costs amortize — the 500k recall run
+    # measured 3,168 docs/s end-to-end, RECALL.json)
     from gnames_spark.corpus import generate_pages
 
     n_syn = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "60000"))
@@ -104,7 +106,20 @@ def _bench_queries(spark, sf_dir):
     pages.unpersist()
     timings["dedup_pipeline_60k_synthetic"] = syn_sec
     syn_dps = round(n_syn / syn_sec, 1) if syn_sec else None
-    return timings, n_docs, pipeline_sec, syn_dps
+
+    n_big = int(os.environ.get("SPARK_GRAFT_SYN_DOCS_BIG", "120000"))
+    big_dps = None
+    if n_big > 0:
+        pages = generate_pages(spark, n_big, seed=43, partitions=cfg.shuffle_partitions)
+        pages.cache().count()
+        t0 = time.monotonic()
+        syn = DedupPipeline(spark, cfg, enable_substring=False).run(pages)
+        syn["components"].count()
+        big_sec = round(time.monotonic() - t0, 3)
+        pages.unpersist()
+        timings["dedup_pipeline_120k_synthetic"] = big_sec
+        big_dps = round(n_big / big_sec, 1) if big_sec else None
+    return timings, n_docs, pipeline_sec, syn_dps, big_dps
 
 
 def main() -> None:
@@ -115,7 +130,7 @@ def main() -> None:
 
     spark = get_spark(app_name="gnames_spark_bench", master=f"local[{cpus}]")
     try:
-        timings, n_docs, pipeline_sec, syn_dps = _bench_queries(spark, sf_dir)
+        timings, n_docs, pipeline_sec, syn_dps, big_dps = _bench_queries(spark, sf_dir)
     finally:
         spark.stop()
 
@@ -128,6 +143,7 @@ def main() -> None:
         "sf": sf_dir,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
         "synthetic_60k_docs_per_sec": syn_dps,
+        "synthetic_120k_docs_per_sec": big_dps,
         "cpus": int(cpus),
     }
 

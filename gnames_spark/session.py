@@ -81,9 +81,14 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # local-only sizing: on spark-submit (inherit_master) the UI and
-        # driver memory belong to the submitter
+        # driver memory belong to the submitter. 32g heap: local[32] runs
+        # 32 concurrent tasks whose SHJ build maps share one JVM's
+        # execution memory — 8g measured insufficient at 10^6 docs
+        # (SparkException: can't acquire memory to build hash relation);
+        # the JVM commits heap on use, so the larger -Xmx costs nothing
+        # on smaller runs
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     builder = _tuning(builder)
     if local_dir:
