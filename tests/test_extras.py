@@ -256,6 +256,28 @@ class TestBlockedEmbeddingPairs:
         assert len(got_auto) >= len(got1)  # monotone in bands
         assert (100, 101) in got_auto  # derived banding catches the plant
 
+    def test_ann_size_aware_hint_path(self, spark, vectors):
+        """n_vectors_hint derives (band_bits, n_bands) jointly (the
+        at-scale operating point, ANN_SCALE.json) and still catches the
+        planted pair with zero false positives — the same exact-verify
+        contract as the fixed-width path."""
+        from gnames_spark.operators.embeddings import (
+            ann_dup_pairs,
+            blocked_cosine_pairs,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in blocked_cosine_pairs(vectors, 0.95, n_blocks=4).collect()
+        }
+        got, overflow = ann_dup_pairs(
+            vectors, 0.95, dim=16, n_vectors_hint=vectors.count()
+        )
+        got = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert got <= exact            # exact verify: no false positives
+        assert (100, 101) in got       # derived banding catches the plant
+        assert overflow.count() == 0   # no cap engaged at this size
+
     def test_ann_bucket_cap_overflow_logged(self, spark, vectors):
         """A tiny bucket_cap drops hot (band, bucket) postings and the
         overflow table reports them — truncation is never silent."""
