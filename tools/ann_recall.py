@@ -34,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from gnames_spark.operators.embeddings import (  # noqa: E402
     ann_dup_pairs,
     blocked_cosine_pairs,
+    derive_sign_banding,
     optimal_sign_bands,
     signlsh_catch_probability,
 )
@@ -91,22 +92,28 @@ def main() -> int:
         ),
         "sweeps": [],
     }
-    for nb in sorted({1, 4, max(1, derived // 2), derived}):
+    n_total = n_base + n_plants
+    sa_bits, sa_bands = derive_sign_banding(threshold, n_total)
+    points = [(nb, band_bits, "band sweep") for nb in sorted({1, 4, max(1, derived // 2), derived})]
+    points.append((sa_bands, sa_bits, f"size-aware operating point (n={n_total})"))
+    for nb, bits, label in points:
         t0 = time.monotonic()
-        pairs, _ = ann_dup_pairs(allv, threshold, dim, n_bands=nb, band_bits=band_bits)
+        pairs, _ = ann_dup_pairs(allv, threshold, dim, n_bands=nb, band_bits=bits)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         secs = time.monotonic() - t0
         recall = (len(got & exact) / len(exact)) if exact else 1.0
         report["sweeps"].append(
             {
                 "n_bands": nb,
-                "design_catch": round(signlsh_catch_probability(threshold, nb, band_bits), 4),
+                "band_bits": bits,
+                "label": label,
+                "design_catch": round(signlsh_catch_probability(threshold, nb, bits), 4),
                 "recall": round(recall, 4),
                 "found_pairs": len(got),
                 "secs": round(secs, 2),
             }
         )
-        print(f"bands={nb} design={report['sweeps'][-1]['design_catch']} "
+        print(f"bands={nb}x{bits} ({label}) design={report['sweeps'][-1]['design_catch']} "
               f"recall={recall:.4f} pairs={len(got)}/{len(exact)} [{secs:.1f}s]")
 
     with open("ANN_RECALL.json", "w") as f:
