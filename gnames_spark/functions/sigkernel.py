@@ -223,8 +223,10 @@ def winnow_anchors(seq: np.ndarray, wwin: int) -> np.ndarray:
     if len(seq) <= wwin:
         wins = np.array([seq.min()], dtype=np.uint64)
     else:
-        wins = np.unique(np.lib.stride_tricks.sliding_window_view(seq, wwin).min(axis=1))
-    return (wins >> np.uint64(1)).astype(np.int64)
+        wins = np.lib.stride_tricks.sliding_window_view(seq, wwin).min(axis=1)
+    # distinctness must hold AFTER the >>1 range shift: two adjacent
+    # uint64 minima (2m, 2m+1) collapse to the same int64 anchor
+    return np.unique((wins >> np.uint64(1)).astype(np.int64))
 
 
 def make_anchor_udf(cfg: DedupConfig):
