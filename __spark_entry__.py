@@ -39,6 +39,10 @@ from gnames_spark.operators.embeddings import (
     blocked_cosine_pairs,
     cosine_topk,
 )
+from gnames_spark.operators.incremental import (
+    incremental_jaccard_pairs,
+    merge_components,
+)
 from gnames_spark.operators.lsh import lsh_candidates
 from gnames_spark.operators.simhash_join import simhash_candidates
 from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
@@ -263,6 +267,35 @@ def q_dedup_representatives(spark, sf_dir):
     return comps.groupBy("component_id").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc")
     )
+
+
+def q_dedup_incremental_components(spark, sf_dir):
+    """M5 incremental fold-in == from-scratch clustering: split the
+    corpus by doc-id parity into base + increment, cluster the base,
+    then fold the increment in WITHOUT regenerating old-vs-old pairs —
+    one-sided posting join (operators/incremental.incremental_jaccard_pairs)
+    + contraction merge (merge_components: old components collapse to
+    their min-id, CC runs on the tiny contracted graph, the merge map
+    broadcasts back). Oracle: the SAME full-corpus recursive-CTE
+    reachability SQL as dedup_components — the incremental result must
+    equal the from-scratch assignment exactly.
+
+    Reference analog: the reference service is inherently incremental
+    (new names match a standing posting index,
+    /root/reference/internal/io/pgio/sp_query.go:19-27); this is that
+    property made explicit for batch increments at crawl scale."""
+    docs = _docs(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
+    even = F.pmod(F.col("doc_id"), F.lit(2)) == F.lit(0)
+    base_sets, new_sets = sets.filter(even), sets.filter(~even)
+    base_edges = exact_jaccard_pairs(base_sets, TAU, set_col="shingle_set").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    base_assign = all_components(docs.filter(even), connected_components(base_edges))
+    inc_edges = incremental_jaccard_pairs(new_sets, base_sets, TAU).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return merge_components(base_assign, inc_edges, docs.filter(~even))
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -947,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_computed_sort": q_o1_computed_sort,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_incremental_components": q_dedup_incremental_components,
         "dedup_representatives": q_dedup_representatives,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_substring_pairs": q_dedup_substring_pairs,
@@ -1019,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _DK_JACCARD_PAIRS,
         "dedup_components": _DK_COMPONENTS,
+        # the incremental fold-in must reproduce the from-scratch
+        # full-corpus assignment — same oracle as dedup_components
+        "dedup_incremental_components": _DK_COMPONENTS,
         "dedup_representatives": f"""
             WITH comps AS ({_DK_COMPONENTS})
             SELECT component_id, count(*) AS n_docs, min(doc_id) AS rep_doc

@@ -47,6 +47,7 @@ def _bench_queries(spark, sf_dir):
     picked = [
         "dedup_minhash_lsh",
         "dedup_components",
+        "dedup_incremental_components",
         "dedup_simhash_pairs",
         "dedup_substring_pairs",
         "dedup_exact_groups",

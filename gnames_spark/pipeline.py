@@ -33,12 +33,22 @@ from gnames_spark.functions.extraction import extract_text
 from gnames_spark.functions.sigkernel import make_shingle_set_udf, make_signature_udf
 from gnames_spark.metrics import MetricsCollector
 from gnames_spark.operators.components import all_components, connected_components
-from gnames_spark.operators.exact import distinct_content, exact_dup_edges, with_content_sha
+from gnames_spark.operators.exact import (
+    distinct_content,
+    exact_dup_edges,
+    exact_groups,
+    with_content_sha,
+)
+from gnames_spark.operators.incremental import (
+    incremental_posting_pairs,
+    merge_components,
+    tag_postings,
+)
 from gnames_spark.operators.lsh import candidate_pairs as lsh_bucket_pairs
 from gnames_spark.operators.lsh import capped_buckets
 from gnames_spark.operators.representatives import cluster_summary, select_representatives
 from gnames_spark.operators.scoring import pair_score
-from gnames_spark.operators.simhash_join import simhash_candidates
+from gnames_spark.operators.simhash_join import simhash_candidates, simhash_chunks
 from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
 from gnames_spark.operators.verify import verify_pairs
 
@@ -89,20 +99,32 @@ class DedupPipeline:
         # overflow volume is logged per run (never silent).
         self.route_overflow_to_lcs = route_overflow_to_lcs
         self._overflow_cache: list[DataFrame] = []
+        # stage-name namespace: run_incremental() prefixes every stage
+        # ("inc_docs", "inc_verified_pairs", ...) so an increment's
+        # checkpoints never collide with (or wrongly reuse) the base
+        # run's stages in the same store
+        self._stage_ns = ""
 
     # -- stage helper ------------------------------------------------
     def _stage(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        name = self._stage_ns + name
         if self.io is not None:
             df, res = self.io.write_or_reuse(self.spark, name, build, partition_by)
             self.metrics.record(name, res.rows, res.secs, reused=res.reused)
             return df
-        # no checkpoint store: persist + materialize so downstream stages
-        # (each stage is consumed 2-4x) never recompute upstream work —
-        # the in-memory analog of the checkpoint write
+        # no checkpoint store: localCheckpoint (persist + LINEAGE CUT) so
+        # downstream stages (each consumed 2-4x) never recompute upstream
+        # work — the in-memory analog of the checkpoint write. The
+        # lineage cut matters as much as the caching: with plain persist
+        # the logical plan of every stage nests all upstream plans, and
+        # driver-side analysis goes combinatorial once run_incremental
+        # unions base-run lineages into increment stages (measured: a
+        # count over a 1,321-row persisted table spent 96 s in the
+        # analyzer before this cut).
         import time as _time
 
         t0 = _time.monotonic()
-        df = build().persist()
+        df = build().localCheckpoint(eager=True)
         rows = df.count()
         self.metrics.record(name, rows, _time.monotonic() - t0)
         return df
@@ -122,8 +144,45 @@ class DedupPipeline:
         row = overflow.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs")
         ).collect()[0]
-        self.metrics.record(name, int(row["n"]), 0.0, dropped_docs=int(row["docs"]))
+        self.metrics.record(self._stage_ns + name, int(row["n"]), 0.0, dropped_docs=int(row["docs"]))
         return overflow
+
+    @staticmethod
+    def _strongest_with_overflow(branches: list[DataFrame], overflow_docs: DataFrame | None) -> DataFrame:
+        """Union candidate branches, keep the strongest method per pair,
+        and attach the anchor_overflow flag (shared tail of the full and
+        incremental candidate stages). anchor outranks lsh/simhash: the
+        verified stage routes Jaccard-failed anchor pairs into the
+        substring LCS check, so a pair co-detected by lsh must not lose
+        its anchor tag (a substring dup at J<tau would silently skip LCS
+        otherwise)."""
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        out = (
+            out.groupBy("doc_a", "doc_b")
+            .agg(F.max_by("method", F.when(F.col("method") == "exact", 4)
+                          .when(F.col("method") == "anchor", 3)
+                          .when(F.col("method") == "lsh", 2)
+                          .otherwise(1)).alias("method"))
+        )
+        if overflow_docs is None:
+            return out.withColumn("anchor_overflow", F.lit(False))
+        ova = overflow_docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("_anchor_ov").alias("_ova")
+        )
+        ovb = overflow_docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("_anchor_ov").alias("_ovb")
+        )
+        return (
+            out.join(F.broadcast(ova), "doc_a", "left")
+            .join(F.broadcast(ovb), "doc_b", "left")
+            .withColumn(
+                "anchor_overflow",
+                F.coalesce("_ova", F.lit(False)) | F.coalesce("_ovb", F.lit(False)),
+            )
+            .drop("_ova", "_ovb")
+        )
 
     # -- stages --------------------------------------------------------
     def prepare_docs(self, pages: DataFrame) -> DataFrame:
@@ -209,38 +268,7 @@ class DedupPipeline:
                     .distinct()
                     .withColumn("_anchor_ov", F.lit(True))
                 )
-            out = branches[0]
-            for b in branches[1:]:
-                out = out.unionByName(b)
-            # keep strongest method per pair. anchor outranks lsh/simhash:
-            # the verified stage routes Jaccard-failed anchor pairs into
-            # the substring LCS check, so a pair co-detected by lsh must
-            # not lose its anchor tag (a substring dup at J<tau would
-            # silently skip LCS otherwise).
-            out = (
-                out.groupBy("doc_a", "doc_b")
-                .agg(F.max_by("method", F.when(F.col("method") == "exact", 4)
-                              .when(F.col("method") == "anchor", 3)
-                              .when(F.col("method") == "lsh", 2)
-                              .otherwise(1)).alias("method"))
-            )
-            if overflow_docs is None:
-                return out.withColumn("anchor_overflow", F.lit(False))
-            ova = overflow_docs.select(
-                F.col("doc_id").alias("doc_a"), F.col("_anchor_ov").alias("_ova")
-            )
-            ovb = overflow_docs.select(
-                F.col("doc_id").alias("doc_b"), F.col("_anchor_ov").alias("_ovb")
-            )
-            return (
-                out.join(F.broadcast(ova), "doc_a", "left")
-                .join(F.broadcast(ovb), "doc_b", "left")
-                .withColumn(
-                    "anchor_overflow",
-                    F.coalesce("_ova", F.lit(False)) | F.coalesce("_ovb", F.lit(False)),
-                )
-                .drop("_ova", "_ovb")
-            )
+            return self._strongest_with_overflow(branches, overflow_docs)
 
         df = self._stage("candidate_pairs", build)
         # overflow stats were double-consumed (collect + anti-join);
@@ -387,3 +415,196 @@ class DedupPipeline:
             "representatives": reps,
             "cluster_summary": summary,
         }
+
+    # -- incremental path ---------------------------------------------
+    def _incremental_candidates(
+        self,
+        new_docs: DataFrame,
+        new_sigs: DataFrame,
+        base_sigs: DataFrame,
+        link_edges: DataFrame,
+    ) -> DataFrame:
+        """Candidate pairs touching >= 1 increment doc — the one-sided
+        form of :meth:`candidates`. Posting tables (LSH buckets, SimHash
+        chunks, anchors) combine base+increment so caps see the TRUE
+        bucket sizes (identical overflow behavior to a full recompute),
+        but the pair join probes only increment postings — old-vs-old
+        pairs are never generated (their connectivity already lives in
+        the base component assignment)."""
+        cfg = self.cfg
+
+        def build():
+            exact = exact_dup_edges(new_docs).select("doc_a", "doc_b", "method").unionByName(
+                link_edges
+            )
+            non_new = new_sigs.filter(F.col("n_shingles") > 0)
+            non_old = base_sigs.filter(F.col("n_shingles") > 0)
+
+            def bands_of(sigs):
+                return sigs.select("doc_id", F.posexplode("bands").alias("band", "bucket_hash"))
+
+            all_b = tag_postings(bands_of(non_old), bands_of(non_new))
+            counts = all_b.groupBy("band", "bucket_hash").agg(F.count("*").alias("n_docs"))
+            lsh_ov = counts.filter(F.col("n_docs") > cfg.bucket_cap)
+            self._record_overflow("lsh_overflow_buckets", lsh_ov)
+            kept_all = all_b.join(
+                lsh_ov.select("band", "bucket_hash"), ["band", "bucket_hash"], "left_anti"
+            ).repartition(cfg.shuffle_partitions, "band", "bucket_hash")
+            lsh_pairs = incremental_posting_pairs(
+                kept_all.filter("_new"), kept_all, ["band", "bucket_hash"]
+            ).withColumn("method", F.lit("lsh"))
+            branches = [exact, lsh_pairs]
+            if self.enable_simhash:
+                all_s = tag_postings(
+                    simhash_chunks(non_old.select("doc_id", "simhash"), cfg),
+                    simhash_chunks(non_new.select("doc_id", "simhash"), cfg),
+                )
+                s_counts = all_s.groupBy("chunk_id", "chunk_val").agg(
+                    F.count("*").alias("n_docs")
+                )
+                sim_ov = s_counts.filter(F.col("n_docs") > cfg.bucket_cap)
+                self._record_overflow("simhash_overflow_chunks", sim_ov)
+                kept_s = all_s.join(
+                    sim_ov.select("chunk_id", "chunk_val"), ["chunk_id", "chunk_val"], "left_anti"
+                ).repartition(cfg.shuffle_partitions, "chunk_id", "chunk_val")
+                sim_pairs = (
+                    incremental_posting_pairs(
+                        kept_s.filter("_new"), kept_s, ["chunk_id", "chunk_val"],
+                        extra_cols=["simhash"],
+                    )
+                    .filter(F.expr(f"bit_count(simhash_a ^ simhash_b) <= {cfg.hamming_d}"))
+                    .select("doc_a", "doc_b")
+                    .withColumn("method", F.lit("simhash"))
+                )
+                branches.append(sim_pairs)
+            overflow_docs = None
+            if self.enable_substring:
+                def anchors_of(sigs):
+                    return sigs.select("doc_id", F.explode("anchors").alias("anchor"))
+
+                all_a = tag_postings(anchors_of(non_old), anchors_of(non_new))
+                a_counts = all_a.groupBy("anchor").agg(F.count("*").alias("n_docs"))
+                anc_ov = a_counts.filter(F.col("n_docs") > cfg.anchor_cap)
+                anc_ov = self._record_overflow("anchor_overflow", anc_ov)
+                kept_a = all_a.join(
+                    anc_ov.select("anchor"), "anchor", "left_anti"
+                ).repartition(cfg.shuffle_partitions, "anchor")
+                anc_pairs = incremental_posting_pairs(
+                    kept_a.filter("_new"), kept_a, ["anchor"]
+                )
+                if cfg.min_shared_anchors > 1:
+                    anc_pairs = (
+                        anc_pairs.groupBy("doc_a", "doc_b")
+                        .agg(F.count("*").alias("_n_shared"))
+                        .filter(F.col("_n_shared") >= cfg.min_shared_anchors)
+                        .drop("_n_shared")
+                    )
+                branches.append(anc_pairs.withColumn("method", F.lit("anchor")))
+                overflow_docs = (
+                    all_a.join(anc_ov.select("anchor"), "anchor", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("_anchor_ov", F.lit(True))
+                )
+            return self._strongest_with_overflow(branches, overflow_docs)
+
+        df = self._stage("candidate_pairs", build)
+        for o in self._overflow_cache:
+            o.unpersist()
+        self._overflow_cache.clear()
+        return df
+
+    def run_incremental(self, new_pages: DataFrame, base: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Fold a NEW batch of pages into an already-deduplicated corpus
+        — O(|increment| x touched-postings), never old-vs-old.
+
+        ``base`` is the dict a previous :meth:`run` (or
+        ``run_incremental``) returned — ``docs``, ``signatures``,
+        ``components`` are used. Page doc identity is xxhash64(url), so
+        increment urls must be new urls (re-crawls of an existing url
+        are an upsert, out of scope here).
+
+        The stages (namespaced ``inc_*`` in the checkpoint store):
+        1. ``inc_docs`` — extract + content_sha for the increment only.
+        2. Byte-identical link: increment shas join the base exact-group
+           reps (ONE columnar scan of base docs, increment broadcast);
+           linked docs produce exact edges and are NOT re-signed.
+        3. ``inc_signatures`` — fused kernel over genuinely-new distinct
+           content only.
+        4. ``inc_candidate_pairs`` — one-sided posting joins against
+           base+increment postings; caps see true combined bucket sizes.
+        5. ``inc_verified_pairs`` — the unchanged :meth:`verified` stage
+           (size-ratio prune, exact Jaccard, substring LCS routing) over
+           the union signature/doc tables (join-back hydrates only pair
+           participants, so the base corpus is scanned, not verified).
+        6. ``inc_components`` — :func:`merge_components` contraction:
+           CC runs on a graph of <= 2·|new edges| nodes; the merge map
+           broadcasts over the standing assignment.
+
+        Identity: equals a from-scratch :meth:`run` over old ∪ new docs
+        (asserted end-to-end in tests/test_incremental.py), except that
+        pairs whose bucket overflows only in the combined corpus keep
+        their base-run edges (a fresh run would have dropped them —
+        incremental is recall->=-full-run under caps, never below).
+        """
+        base_docs, base_sigs, base_comps = base["docs"], base["signatures"], base["components"]
+        prev_ns = self._stage_ns
+        self._stage_ns = "inc_"
+        try:
+            new_docs = self.prepare_docs(new_pages)
+            base_reps = exact_groups(base_docs).select("content_sha", "rep_doc")
+            new_sha = new_docs.select("doc_id", "content_sha")
+            linked = (
+                base_reps.join(F.broadcast(new_sha), "content_sha")
+                .select("rep_doc", "doc_id")
+                .persist()
+            )
+            link_edges = linked.select(
+                F.col("rep_doc").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit("exact").alias("method"),
+            )
+
+            def build_sigs():
+                reps = distinct_content(new_docs).join(
+                    F.broadcast(linked.select("doc_id")), "doc_id", "left_anti"
+                )
+                sig = make_signature_udf(self.cfg)
+                return (
+                    reps.select("doc_id", sig(F.col("text")).alias("sig"))
+                    .select("doc_id", "sig.bands", "sig.simhash", "sig.n_shingles", "sig.anchors")
+                    .withColumn("config_hash", F.lit(self.cfg.config_hash()))
+                )
+
+            new_sigs = self._stage("signatures", build_sigs)
+            cands = self._incremental_candidates(new_docs, new_sigs, base_sigs, link_edges)
+            sigs_all = base_sigs.unionByName(new_sigs)
+            common = [c for c in base_docs.columns if c in new_docs.columns]
+            docs_all = base_docs.select(common).unionByName(new_docs.select(common))
+            ver = self.verified(cands, sigs_all, docs_all)
+
+            def build_comps():
+                edges = ver.filter("passed").select(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                )
+                return merge_components(
+                    base_comps,
+                    edges,
+                    new_docs,
+                    max_iterations=self.cfg.max_cc_iterations,
+                    salt_buckets=self.cfg.cc_salt_buckets,
+                )
+
+            comps = self._stage("components", build_comps)
+            linked.unpersist()
+            return {
+                "docs": docs_all,
+                "signatures": sigs_all,
+                "candidate_pairs": cands,
+                "verified_pairs": ver,
+                "components": comps,
+                "representatives": select_representatives(comps),
+                "cluster_summary": cluster_summary(comps),
+            }
+        finally:
+            self._stage_ns = prev_ns

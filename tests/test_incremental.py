@@ -1,0 +1,193 @@
+"""Incremental dedup tests.
+
+The headline assertion: folding an increment into a deduped base with
+``DedupPipeline.run_incremental`` yields EXACTLY the (doc_id,
+component_id) assignment a from-scratch run over base ∪ increment
+produces — the identity :func:`merge_components` guarantees (old
+component ids are component minima, so contraction preserves global
+minima). Plus unit oracles for the incremental posting join (set
+algebra vs the full-corpus pair set) and the contraction merge
+(union-find)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gnames_spark.config import DedupConfig
+from gnames_spark.corpus import generate_pages
+from gnames_spark.operators.incremental import (
+    incremental_jaccard_pairs,
+    merge_components,
+)
+from gnames_spark.operators.verify import exact_jaccard_pairs
+from gnames_spark.pipeline import DedupPipeline
+
+# caps lifted: the full-vs-incremental identity is exact only when no
+# bucket overflows (a bucket that overflows in the combined corpus but
+# not in the base alone keeps its base-run edges incrementally while a
+# fresh run drops them — recall >= full run, documented divergence)
+CFG = DedupConfig(shuffle_partitions=8, bucket_cap=100_000, anchor_cap=100_000)
+SEED = 23
+N = 240
+
+
+@pytest.fixture(scope="module")
+def split_pages(spark):
+    pages = generate_pages(spark, N, seed=SEED).cache()
+    is_inc = F.pmod(F.xxhash64("url"), F.lit(4)) == F.lit(0)  # ~25% increment
+    return pages, pages.filter(~is_inc).cache(), pages.filter(is_inc).cache()
+
+
+@pytest.fixture(scope="module")
+def full_res(spark, split_pages):
+    return DedupPipeline(spark, CFG).run(split_pages[0])
+
+
+@pytest.fixture(scope="module")
+def base_res(spark, split_pages):
+    return DedupPipeline(spark, CFG).run(split_pages[1])
+
+
+@pytest.fixture(scope="module")
+def inc_res(spark, split_pages, base_res):
+    return DedupPipeline(spark, CFG).run_incremental(split_pages[2], base_res)
+
+
+def _assign(df):
+    return {(r["doc_id"], r["component_id"]) for r in df.collect()}
+
+
+class TestIncrementalPipeline:
+    def test_matches_full_run(self, spark, split_pages, full_res, base_res, inc_res):
+        pages, base_pages, inc_pages = split_pages
+        assert 0 < inc_pages.count() < pages.count()
+        want = _assign(full_res["components"])
+        base, inc = base_res, inc_res
+        got = _assign(inc["components"])
+        assert got == want
+        # and some increment docs actually merged into base clusters
+        # (the corpus plants dup groups across the url-hash split)
+        base_ids = {r["doc_id"] for r in base["docs"].select("doc_id").collect()}
+        by_comp: dict[int, set[int]] = {}
+        for d, c in got:
+            by_comp.setdefault(c, set()).add(d)
+        straddling = sum(
+            1
+            for members in by_comp.values()
+            if len(members) > 1
+            and any(m in base_ids for m in members)
+            and any(m not in base_ids for m in members)
+        )
+        assert straddling > 0
+
+    def test_signs_only_new_content(self, spark, split_pages, base_res, inc_res):
+        """Increment docs byte-identical to base content are linked via
+        exact edges and never re-signed (the early-exit cascade holds
+        across batches)."""
+        _, base_pages, inc_pages = split_pages
+        base, inc = base_res, inc_res
+        n_base_sigs = base["signatures"].count()
+        n_new_sigs = inc["signatures"].count() - n_base_sigs
+        # new signatures == increment content that is distinct AND absent
+        # from the base corpus
+        base_shas = {
+            r["content_sha"]
+            for r in base["docs"].select("content_sha").distinct().collect()
+        }
+        inc_shas = {
+            r["content_sha"]
+            for r in inc["docs"]
+            .join(base["docs"].select("doc_id"), "doc_id", "left_anti")
+            .select("content_sha")
+            .distinct()
+            .collect()
+        }
+        assert n_new_sigs == len(inc_shas - base_shas)
+        assert n_new_sigs < inc_pages.count()  # some content was already known
+
+
+class TestIncrementalJaccard:
+    def test_set_algebra_vs_full_pair_set(self, spark):
+        """pairs(all) == pairs(base) ∪ incremental(new vs base), and the
+        incremental set is exactly the increment-touching pairs."""
+        rng = np.random.RandomState(7)
+        rows = [
+            (i, sorted({int(x) for x in rng.choice(60, size=rng.randint(5, 25))}))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, shingle_set array<long>")
+        base, new = df.filter("doc_id < 30"), df.filter("doc_id >= 30")
+
+        def pairs(d):
+            return {
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in d.collect()
+            }
+
+        allp = pairs(exact_jaccard_pairs(df, 0.2))
+        basep = pairs(exact_jaccard_pairs(base, 0.2))
+        incp = pairs(incremental_jaccard_pairs(new, base, 0.2))
+        assert len(allp) > len(basep) > 0
+        assert incp == allp - basep
+
+
+class TestMergeComponents:
+    def _run(self, spark, old_edges, old_nodes, new_edges, new_nodes):
+        base_edges = spark.createDataFrame(old_edges, "src long, dst long")
+        from gnames_spark.operators.components import all_components, connected_components
+
+        base_assign = all_components(
+            spark.createDataFrame([(n,) for n in old_nodes], "doc_id long"),
+            connected_components(base_edges, max_iterations=20),
+        )
+        merged = merge_components(
+            base_assign,
+            spark.createDataFrame(new_edges, "src long, dst long"),
+            spark.createDataFrame([(n,) for n in new_nodes], "doc_id long"),
+            max_iterations=20,
+        )
+        return {r["doc_id"]: r["component_id"] for r in merged.collect()}
+
+    def test_matches_union_find(self, spark):
+        rng = np.random.RandomState(11)
+        old_nodes = list(range(100))
+        old_edges = [
+            (int(rng.choice(old_nodes)), int(rng.choice(old_nodes))) for _ in range(60)
+        ]
+        old_edges = [e for e in old_edges if e[0] != e[1]]
+        new_nodes = list(range(100, 140))
+        new_edges = []
+        for _ in range(50):  # mix of new-new and new-old, >= 1 new endpoint
+            u = int(rng.choice(new_nodes))
+            v = int(rng.choice(new_nodes + old_nodes))
+            if u != v:
+                new_edges.append((u, v))
+        got = self._run(spark, old_edges, old_nodes, new_edges, new_nodes)
+
+        parent = {n: n for n in old_nodes + new_nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in old_edges + new_edges:
+            parent[find(u)] = find(v)
+        groups: dict[int, set[int]] = {}
+        for n in old_nodes + new_nodes:
+            groups.setdefault(find(n), set()).add(n)
+        oracle = {n: min(m) for m in groups.values() for n in m}
+        assert got == oracle
+
+    def test_no_new_edges_keeps_base_untouched(self, spark):
+        old_nodes = [0, 1, 2, 3]
+        got = self._run(spark, [(0, 1)], old_nodes, [], [10, 11])
+        assert got == {0: 0, 1: 0, 2: 2, 3: 3, 10: 10, 11: 11}
+
+    def test_new_edge_merges_two_base_components(self, spark):
+        """A new doc bridging two old components collapses them to the
+        global min — the case where the contraction must relabel BASE
+        rows, not just the increment."""
+        old_nodes = [0, 1, 10, 11]
+        got = self._run(spark, [(0, 1), (10, 11)], old_nodes, [(100, 1), (100, 11)], [100])
+        assert got == {0: 0, 1: 0, 10: 0, 11: 0, 100: 0}
