@@ -57,6 +57,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--cc-checkpoint-rounds", action="store_true",
                    help="route each CC round through the reliable checkpoint "
                         "store (survives executor loss mid-loop)")
+    p.add_argument("--incremental", action="store_true",
+                   help="treat --input as a NEW batch and fold it into the "
+                        "standing corpus in --checkpoint-dir (requires a "
+                        "completed base run there under the SAME config). "
+                        "The merged docs/signatures/components are promoted "
+                        "back into the store as the new standing corpus, so "
+                        "batches chain: run base once, then one --incremental "
+                        "run per arriving batch")
+    p.add_argument("--batch-id", default=None,
+                   help="stable id namespacing this increment's checkpoint "
+                        "stages (inc_<id>_*). Reuse the id to RESUME a killed "
+                        "batch; use a fresh id per new batch. Defaults to a "
+                        "hash of --input")
     p.add_argument("--run-id", default=None)
     p.add_argument("--limit", type=int, default=None,
                    help="optional row cap for smoke runs")
@@ -128,11 +141,97 @@ def main(argv: list[str] | None = None) -> int:
         cc_checkpoint_rounds=args.cc_checkpoint_rounds,
         route_overflow_to_lcs=args.route_overflow_to_lcs,
     )
-    res = pipe.run(pages)
+    if args.incremental:
+        import hashlib
+        import os
+
+        if pipe.io is None:
+            print("--incremental requires --checkpoint-dir (the standing "
+                  "corpus lives there)", file=sys.stderr)
+            return 2
+        for stage in ("docs", "signatures", "components"):
+            if not pipe.io.is_complete(stage):
+                print(f"--incremental: base stage '{stage}' is missing or was "
+                      f"built under a different config hash in "
+                      f"{args.checkpoint_dir}; run the base pipeline first",
+                      file=sys.stderr)
+                return 2
+        batch_id = args.batch_id or hashlib.sha256(args.input.encode()).hexdigest()[:12]
+        # idempotence marker: a batch promoted into the standing corpus
+        # must never fold twice (a crash AFTER promote but BEFORE the
+        # caller saw success, or a blind re-run, would otherwise pair the
+        # increment against itself). Written atomically LAST, so a crash
+        # mid-promote re-runs the promote from the (complete, reusable)
+        # inc_<batch_id>_* stages — stage writes are themselves atomic
+        # and rewriting them is idempotent.
+        marker = os.path.join(args.checkpoint_dir, "_promoted_batches.json")
+        promoted: list[str] = []
+        if os.path.exists(marker):
+            with open(marker) as f:
+                promoted = json.load(f)
+        if batch_id in promoted:
+            print(f"batch {batch_id} already promoted; standing corpus is "
+                  f"current", file=sys.stderr)
+            res = None
+        else:
+            base = {
+                s: pipe.io.read(spark, s)
+                for s in ("docs", "signatures", "components")
+            }
+            res = pipe.run_incremental(pages, base, batch_id=batch_id)
+            # promote: the merged tables become the standing corpus the
+            # NEXT batch folds into. Each stage is individually
+            # idempotent so a crash between stage writes is safe on
+            # re-run (the inc_<batch_id>_* stages are complete and
+            # reused, so the fold itself does not recompute):
+            # - docs/signatures: append the increment rows ONLY if the
+            #   standing table doesn't already contain them (stage
+            #   writes are atomic, so it's all-or-none per stage). On
+            #   Iceberg this whole rewrite is a plain APPEND.
+            # - components: rewriting the merged assignment is
+            #   idempotent by construction (re-merging the same edges
+            #   into an already-merged assignment changes nothing). On
+            #   Iceberg this is MERGE INTO over the changed rows only.
+            inc_ns = f"inc_{batch_id}_"
+            for stage in ("docs", "signatures"):
+                cur = pipe.io.read(spark, stage)
+                inc_part = pipe.io.read(spark, inc_ns + stage)
+                common = [c for c in cur.columns if c in inc_part.columns]
+                n_present = cur.join(
+                    F.broadcast(inc_part.select("doc_id")), "doc_id", "left_semi"
+                ).count()
+                if n_present == 0:
+                    pipe.io.write(
+                        cur.select(common).unionByName(inc_part.select(common)),
+                        stage,
+                    )
+                res[stage] = pipe.io.read(spark, stage)
+            pipe.io.write(res["components"], "components")
+            res["components"] = pipe.io.read(spark, "components")
+            with open(marker + ".tmp", "w") as f:
+                json.dump(promoted + [batch_id], f)
+            os.replace(marker + ".tmp", marker)
+        if res is None:
+            from gnames_spark.operators.representatives import (
+                cluster_summary,
+                select_representatives,
+            )
+
+            comps = pipe.io.read(spark, "components")
+            res = {
+                "components": comps,
+                "representatives": select_representatives(comps),
+                "cluster_summary": cluster_summary(comps),
+                "verified_pairs": None,
+            }
+    else:
+        res = pipe.run(pages)
 
     out = args.output.rstrip("/")
     for name in ("components", "representatives", "cluster_summary",
                  "verified_pairs"):
+        if res.get(name) is None:  # already-promoted incremental re-run
+            continue
         res[name].write.mode("overwrite").parquet(f"{out}/{name}")
 
     run_doc = {

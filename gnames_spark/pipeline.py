@@ -514,7 +514,12 @@ class DedupPipeline:
         self._overflow_cache.clear()
         return df
 
-    def run_incremental(self, new_pages: DataFrame, base: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    def run_incremental(
+        self,
+        new_pages: DataFrame,
+        base: dict[str, DataFrame],
+        batch_id: str | None = None,
+    ) -> dict[str, DataFrame]:
         """Fold a NEW batch of pages into an already-deduplicated corpus
         — O(|increment| x touched-postings), never old-vs-old.
 
@@ -546,10 +551,17 @@ class DedupPipeline:
         pairs whose bucket overflows only in the combined corpus keep
         their base-run edges (a fresh run would have dropped them —
         incremental is recall->=-full-run under caps, never below).
+
+        ``batch_id`` namespaces this increment's checkpoint stages
+        (``inc_<batch_id>_*``). REQUIRED for repeated increments against
+        one checkpoint store: without it a second batch would find the
+        first batch's completed ``inc_*`` manifests (same config hash)
+        and wrongly reuse them. Give each batch a stable id (stable =
+        the same killed batch can resume; new batch = new id).
         """
         base_docs, base_sigs, base_comps = base["docs"], base["signatures"], base["components"]
         prev_ns = self._stage_ns
-        self._stage_ns = "inc_"
+        self._stage_ns = "inc_" if batch_id is None else f"inc_{batch_id}_"
         try:
             new_docs = self.prepare_docs(new_pages)
             base_reps = exact_groups(base_docs).select("content_sha", "rep_doc")

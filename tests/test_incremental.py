@@ -130,6 +130,49 @@ class TestIncrementalJaccard:
         assert incp == allp - basep
 
 
+class TestIncrementalCLI:
+    def test_chained_batches_promote_and_match_full_run(self, spark, tmp_path):
+        """The spark-submit surface end-to-end (in-process): base run,
+        two --incremental batches promoted into the checkpoint store,
+        an idempotent re-run of an already-promoted batch — final
+        standing assignment equals a from-scratch run over everything."""
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 180, seed=31).cache()
+        part = F.pmod(F.xxhash64("url"), F.lit(3))
+        paths = {}
+        for i in range(3):
+            p = str(tmp_path / f"batch{i}.parquet")
+            pages.filter(part == F.lit(i)).write.parquet(p)
+            paths[i] = p
+        ckpt = str(tmp_path / "ckpt")
+        caps = ["--bucket-cap", "100000", "--anchor-cap", "100000",
+                "--shuffle-partitions", "8"]
+        assert main(["--input", paths[0], "--output", str(tmp_path / "o0"),
+                     "--checkpoint-dir", ckpt] + caps) == 0
+        assert main(["--input", paths[1], "--output", str(tmp_path / "o1"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b1"] + caps) == 0
+        # idempotent re-run of an already-promoted batch
+        assert main(["--input", paths[1], "--output", str(tmp_path / "o1b"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b1"] + caps) == 0
+        assert main(["--input", paths[2], "--output", str(tmp_path / "o2"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b2"] + caps) == 0
+
+        cfg = DedupConfig(shuffle_partitions=8, bucket_cap=100_000, anchor_cap=100_000)
+        io = ParquetCheckpointIO(ckpt, cfg.config_hash())
+        assert io.is_complete("components")
+        got = _assign(io.read(spark, "components"))
+        want = _assign(DedupPipeline(spark, cfg).run(pages)["components"])
+        assert got == want
+        # standing docs table covers the whole corpus exactly once
+        assert io.read(spark, "docs").select("doc_id").distinct().count() == 180
+        assert io.read(spark, "docs").count() == 180
+
+
 class TestMergeComponents:
     def _run(self, spark, old_edges, old_nodes, new_edges, new_nodes):
         base_edges = spark.createDataFrame(old_edges, "src long, dst long")

@@ -132,6 +132,19 @@ def main() -> None:
     speedup = r_small["secs"] / r_big["secs"]
     ratio = big / small
     efficiency = speedup / ratio
+    # complementary estimators — the min/min ratio is the conservative
+    # primary, but on a host with 2-3x run-to-run noise it is biased
+    # DOWN whenever one small-level trial catches a lucky quiet window
+    # (a smaller numerator with an unmatched denominator). Paired
+    # efficiencies compare each interleaved (small, big) trial pair,
+    # which ran back-to-back under similar host conditions, so their
+    # spread isolates host noise from true scaling; the median pair is
+    # the robust location estimate.
+    paired = [
+        round(s["secs"] / b["secs"] / ratio, 3)
+        for s, b in zip(runs_small, runs_big)
+    ]
+    med = sorted(paired)[len(paired) // 2]
     out = {
         "job": "full dedup pipeline (extract + signatures + LSH + simhash + verify + components)",
         "n_docs": n_docs,
@@ -143,6 +156,8 @@ def main() -> None:
         "all_big_secs": [r["secs"] for r in runs_big],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "paired_trial_efficiencies": paired,
+        "median_paired_efficiency": med,
         "hardware_envelope_mops": hw,
         "hardware_speedup_at_pair": round(hw_speedup, 2),
         "efficiency_vs_hardware": round(speedup / hw_speedup, 3) if hw_speedup else None,
