@@ -36,7 +36,6 @@ from gnames_spark.operators.components import all_components, connected_componen
 from gnames_spark.operators.exact import (
     distinct_content,
     exact_dup_edges,
-    exact_groups,
     with_content_sha,
 )
 from gnames_spark.operators.incremental import (
@@ -564,8 +563,19 @@ class DedupPipeline:
         self._stage_ns = "inc_" if batch_id is None else f"inc_{batch_id}_"
         try:
             new_docs = self.prepare_docs(new_pages)
-            base_reps = exact_groups(base_docs).select("content_sha", "rep_doc")
+            # byte-identity link: restrict the base to rows whose sha
+            # appears in the increment (broadcast hash join — ONE
+            # columnar scan of base docs, NO shuffle of the base), then
+            # group only those tiny matches for the per-sha base rep
+            # (min doc_id — identical to exact_groups restricted to the
+            # matching shas, without exact_groups' full-corpus shuffle)
             new_sha = new_docs.select("doc_id", "content_sha")
+            base_matches = base_docs.select("doc_id", "content_sha").join(
+                F.broadcast(new_sha.select("content_sha").distinct()), "content_sha"
+            )
+            base_reps = base_matches.groupBy("content_sha").agg(
+                F.min("doc_id").alias("rep_doc")
+            )
             linked = (
                 base_reps.join(F.broadcast(new_sha), "content_sha")
                 .select("rep_doc", "doc_id")
