@@ -187,9 +187,14 @@ def merge_components(
     assign_c = connected_components(
         contracted, max_iterations=max_iterations, salt_buckets=salt_buckets
     )
+    # materialize the tiny merge map once: it feeds BOTH relabel
+    # branches, and the lineage cut keeps the CC tail (union +
+    # dropDuplicates over the star forest) out of the final plan — the
+    # relabel is then exactly two broadcast hash joins over the base,
+    # zero exchanges (plan-asserted in tests/test_plans.py)
     comp_map = assign_c.select(
         F.col("doc_id").alias("_node"), F.col("component_id").alias("_super")
-    )
+    ).localCheckpoint(eager=True)
     updated_old = (
         base_assign.join(bc(comp_map), base_assign["component_id"] == F.col("_node"), "left")
         .select("doc_id", F.coalesce("_super", "component_id").alias("component_id"))

@@ -126,3 +126,59 @@ class TestPythonBoundary:
         plan = physical_plan(sets)
         assert "EvalPython" not in plan
         assert whole_stage_codegen_spans(sets) >= 1
+
+
+class TestIncrementalPlanShapes:
+    """The incremental fold-in's scale contract: the standing corpus is
+    scanned, never shuffled — all base-side joins broadcast the tiny
+    increment-derived side."""
+
+    def test_merge_map_broadcasts_over_base_no_shuffle(self, spark, docs):
+        from gnames_spark.operators.incremental import merge_components
+        from gnames_spark.plans.audit import count_shuffles, uses_broadcast_join
+
+        # base assignment stands in for the 10^12-row table (parquet scan)
+        base_assign = docs.select(
+            "doc_id", F.col("doc_id").alias("component_id")
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").limit(4).collect()]
+        new_edges = spark.createDataFrame(
+            [(9_000_000_001, ids[0]), (9_000_000_001, ids[1]),
+             (9_000_000_002, ids[2])],
+            "src long, dst long",
+        )
+        new_docs = spark.createDataFrame(
+            [(9_000_000_001,), (9_000_000_002,)], "doc_id long"
+        )
+        merged = merge_components(base_assign, new_edges, new_docs, max_iterations=10)
+        # post-contraction relabel: base join broadcast(merge map) + the
+        # increment's own broadcast join — ZERO exchanges of the base
+        assert uses_broadcast_join(merged)
+        assert count_shuffles(merged) == 0, "base assignment must not shuffle"
+
+    def test_byte_identity_link_broadcasts_increment(self, spark, docs):
+        """The run_incremental link-join shape: base docs meet the
+        increment's shas through ONE broadcast hash join; the only
+        exchange is the groupBy over the tiny match set."""
+        from gnames_spark.plans.audit import (
+            count_shuffles,
+            physical_plan,
+            uses_broadcast_join,
+        )
+
+        base_docs = docs.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+        new_sha = spark.createDataFrame(
+            [(1, "aa"), (2, "bb")], "doc_id long, content_sha string"
+        )
+        base_matches = base_docs.join(
+            F.broadcast(new_sha.select("content_sha").distinct()), "content_sha"
+        )
+        base_reps = base_matches.groupBy("content_sha").agg(
+            F.min("doc_id").alias("rep_doc")
+        )
+        linked = base_reps.join(F.broadcast(new_sha), "content_sha")
+        assert uses_broadcast_join(linked)
+        # exactly two exchanges, BOTH over increment-derived tiny sets
+        # (the sha distinct + the match-set groupBy); the base scan
+        # streams straight into the BroadcastHashJoin
+        assert count_shuffles(linked) == 2, physical_plan(linked)
