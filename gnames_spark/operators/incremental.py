@@ -139,7 +139,8 @@ def merge_components(
     max_iterations: int = 50,
     salt_buckets: int | None = None,
     broadcast_map: bool = True,
-) -> DataFrame:
+    return_map: bool = False,
+):
     """Fold increment edges into a standing component assignment.
 
     ``base_assign``: (doc_id, component_id) over the OLD corpus, where
@@ -164,7 +165,10 @@ def merge_components(
        scale write only the changed rows as the table delta).
 
     Set ``broadcast_map=False`` for pathological increments whose merge
-    map outgrows the broadcast threshold.
+    map outgrows the broadcast threshold. With ``return_map=True``
+    returns ``(assignment, merge_map)`` — the map (``_node`` →
+    ``_super``; every contracted node, including self-mapped ones)
+    feeds :func:`merge_cluster_summary`.
     """
     bc = F.broadcast if broadcast_map else (lambda df: df)
     touched = (
@@ -204,4 +208,48 @@ def merge_components(
         .join(bc(comp_map), F.col("doc_id") == F.col("_node"), "left")
         .select("doc_id", F.coalesce("_super", F.col("doc_id")).alias("component_id"))
     )
-    return updated_old.unionByName(new_assign)
+    out = updated_old.unionByName(new_assign)
+    if return_map:
+        return out, comp_map
+    return out
+
+
+def merge_cluster_summary(
+    base_summary: DataFrame,
+    comp_map: DataFrame,
+    new_assign: DataFrame,
+    broadcast_map: bool = True,
+) -> DataFrame:
+    """Maintain the (component_id, n_docs, rep_doc) summary across an
+    increment WITHOUT re-aggregating the corpus.
+
+    ``base_summary``: the standing summary (``cluster_summary`` of the
+    base). ``comp_map``: :func:`merge_components`'s merge map (every
+    old component touched by a new edge, including self-mapped ones).
+    ``new_assign``: (doc_id, component_id) for the NEW docs only.
+
+    Shape: untouched summary rows stream through a broadcast left-anti
+    join (no shuffle of the standing table); touched rows + new-doc
+    counts aggregate over increment-sized sets only. Valid for the
+    default min-doc-id representative policy, where ``rep_doc`` equals
+    the component id (the component's min) — exactly what
+    ``cluster_summary`` produces.
+    """
+    bc = F.broadcast if broadcast_map else (lambda df: df)
+    touched_ids = comp_map.select(F.col("_node").alias("component_id")).distinct()
+    untouched = base_summary.join(bc(touched_ids), "component_id", "left_anti")
+    touched_old = (
+        base_summary.join(bc(comp_map), base_summary["component_id"] == F.col("_node"))
+        .groupBy(F.col("_super").alias("component_id"))
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    new_counts = new_assign.groupBy("component_id").agg(
+        F.count("*").alias("n_docs")
+    )
+    changed = (
+        touched_old.unionByName(new_counts)
+        .groupBy("component_id")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .withColumn("rep_doc", F.col("component_id"))
+    )
+    return untouched.unionByName(changed.select(*untouched.columns))

@@ -40,6 +40,7 @@ from gnames_spark.operators.exact import (
 )
 from gnames_spark.operators.incremental import (
     incremental_posting_pairs,
+    merge_cluster_summary,
     merge_components,
     tag_postings,
 )
@@ -605,20 +606,36 @@ class DedupPipeline:
             docs_all = base_docs.select(common).unionByName(new_docs.select(common))
             ver = self.verified(cands, sigs_all, docs_all)
 
-            def build_comps():
-                edges = ver.filter("passed").select(
-                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                )
-                return merge_components(
-                    base_comps,
-                    edges,
-                    new_docs,
-                    max_iterations=self.cfg.max_cc_iterations,
-                    salt_buckets=self.cfg.cc_salt_buckets,
-                )
-
-            comps = self._stage("components", build_comps)
+            # merge runs OUTSIDE the stage builder so the merge map is
+            # in hand for summary maintenance; the CC it runs is over
+            # the tiny contracted graph (the whole point), so the eager
+            # recompute on a resumed run is cheap
+            edges = ver.filter("passed").select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+            merged, comp_map = merge_components(
+                base_comps,
+                edges,
+                new_docs,
+                max_iterations=self.cfg.max_cc_iterations,
+                salt_buckets=self.cfg.cc_salt_buckets,
+                return_map=True,
+            )
+            comps = self._stage("components", lambda: merged)
             linked.unpersist()
+            # cluster summary: incrementally maintained when the base
+            # provides its standing summary (untouched rows stream
+            # through; only merge-touched + new components aggregate) —
+            # full recompute otherwise
+            new_assign = comps.join(
+                F.broadcast(new_docs.select("doc_id")), "doc_id", "left_semi"
+            )
+            if "cluster_summary" in base:
+                summary = merge_cluster_summary(
+                    base["cluster_summary"], comp_map, new_assign
+                )
+            else:
+                summary = cluster_summary(comps)
             return {
                 "docs": docs_all,
                 "signatures": sigs_all,
@@ -626,7 +643,7 @@ class DedupPipeline:
                 "verified_pairs": ver,
                 "components": comps,
                 "representatives": select_representatives(comps),
-                "cluster_summary": cluster_summary(comps),
+                "cluster_summary": summary,
             }
         finally:
             self._stage_ns = prev_ns

@@ -80,6 +80,24 @@ class TestIncrementalPipeline:
         )
         assert straddling > 0
 
+    def test_incremental_summary_matches_full_recompute(
+        self, spark, full_res, inc_res
+    ):
+        """cluster_summary is MAINTAINED across the fold-in (untouched
+        rows stream through, only merge-touched + new components
+        aggregate) — must equal the full-corpus aggregation."""
+        from gnames_spark.operators.representatives import cluster_summary
+
+        want = {
+            (r["component_id"], r["n_docs"], r["rep_doc"])
+            for r in cluster_summary(full_res["components"]).collect()
+        }
+        got = {
+            (r["component_id"], r["n_docs"], r["rep_doc"])
+            for r in inc_res["cluster_summary"].collect()
+        }
+        assert got == want
+
     def test_signs_only_new_content(self, spark, split_pages, base_res, inc_res):
         """Increment docs byte-identical to base content are linked via
         exact edges and never re-signed (the early-exit cascade holds
@@ -226,6 +244,32 @@ class TestMergeComponents:
         old_nodes = [0, 1, 2, 3]
         got = self._run(spark, [(0, 1)], old_nodes, [], [10, 11])
         assert got == {0: 0, 1: 0, 2: 2, 3: 3, 10: 10, 11: 11}
+
+    def test_summary_maintenance_unit(self, spark):
+        """merge_cluster_summary over a handcrafted merge: two old
+        components collapse via a new bridge doc, one old component
+        gains a member without changing id, one new singleton, one old
+        component untouched."""
+        from gnames_spark.operators.incremental import merge_cluster_summary
+
+        base_summary = spark.createDataFrame(
+            [(0, 3, 0), (10, 2, 10), (50, 4, 50), (70, 7, 70)],
+            "component_id long, n_docs long, rep_doc long",
+        )
+        # 0 and 10 merge into 0 (bridge doc 100); 50 gains doc 101; 102 solo
+        comp_map = spark.createDataFrame(
+            [(0, 0), (10, 0), (100, 0), (50, 50), (101, 50)],
+            "_node long, _super long",
+        )
+        new_assign = spark.createDataFrame(
+            [(100, 0), (101, 50), (102, 102)],
+            "doc_id long, component_id long",
+        )
+        got = {
+            (r["component_id"], r["n_docs"], r["rep_doc"])
+            for r in merge_cluster_summary(base_summary, comp_map, new_assign).collect()
+        }
+        assert got == {(0, 6, 0), (50, 5, 50), (102, 1, 102), (70, 7, 70)}
 
     def test_new_edge_merges_two_base_components(self, spark):
         """A new doc bridging two old components collapses them to the
