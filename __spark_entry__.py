@@ -41,6 +41,7 @@ from gnames_spark.operators.embeddings import (
 )
 from gnames_spark.operators.incremental import (
     incremental_jaccard_pairs,
+    merge_cluster_summary,
     merge_components,
 )
 from gnames_spark.operators.lsh import lsh_candidates
@@ -296,6 +297,37 @@ def q_dedup_incremental_components(spark, sf_dir):
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return merge_components(base_assign, inc_edges, docs.filter(~even))
+
+
+def q_dedup_incremental_summary(spark, sf_dir):
+    """M5b incremental cluster-summary MAINTENANCE: same parity split as
+    dedup_incremental_components, but the deliverable is the standing
+    (component_id, n_docs, rep_doc) table folded forward with
+    merge_cluster_summary — untouched rows stream through, only
+    merge-touched + new components aggregate. Oracle: the from-scratch
+    full-corpus summary (the dedup_representatives SQL)."""
+    from gnames_spark.operators.representatives import cluster_summary
+
+    docs = _docs(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
+    even = F.pmod(F.col("doc_id"), F.lit(2)) == F.lit(0)
+    base_sets, new_sets = sets.filter(even), sets.filter(~even)
+    base_edges = exact_jaccard_pairs(base_sets, TAU, set_col="shingle_set").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    base_assign = all_components(docs.filter(even), connected_components(base_edges))
+    base_summary = cluster_summary(base_assign)
+    inc_edges = incremental_jaccard_pairs(new_sets, base_sets, TAU).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    new_docs = docs.filter(~even)
+    merged, comp_map = merge_components(
+        base_assign, inc_edges, new_docs, return_map=True
+    )
+    new_assign = merged.join(
+        F.broadcast(new_docs.select("doc_id")), "doc_id", "left_semi"
+    )
+    return merge_cluster_summary(base_summary, comp_map, new_assign)
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -981,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_incremental_components": q_dedup_incremental_components,
+        "dedup_incremental_summary": q_dedup_incremental_summary,
         "dedup_representatives": q_dedup_representatives,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_substring_pairs": q_dedup_substring_pairs,
@@ -1056,6 +1089,13 @@ def oracle_sql() -> dict[str, str]:
         # the incremental fold-in must reproduce the from-scratch
         # full-corpus assignment — same oracle as dedup_components
         "dedup_incremental_components": _DK_COMPONENTS,
+        # maintained summary must equal the from-scratch full-corpus
+        # aggregation (same SQL as dedup_representatives)
+        "dedup_incremental_summary": f"""
+            WITH comps AS ({_DK_COMPONENTS})
+            SELECT component_id, count(*) AS n_docs, min(doc_id) AS rep_doc
+            FROM comps GROUP BY 1
+        """,
         "dedup_representatives": f"""
             WITH comps AS ({_DK_COMPONENTS})
             SELECT component_id, count(*) AS n_docs, min(doc_id) AS rep_doc
