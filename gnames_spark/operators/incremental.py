@@ -214,6 +214,77 @@ def merge_components(
     return out
 
 
+def remove_docs(
+    base_assign: DataFrame,
+    edges: DataFrame,
+    remove_ids: DataFrame,
+    max_iterations: int = 50,
+    salt_buckets: int | None = None,
+    broadcast_small: bool = True,
+) -> DataFrame:
+    """Delete docs from a standing assignment — the hard half of an
+    upsert (a re-crawled url is ``remove_docs`` of the old version +
+    ``run_incremental`` of the new one).
+
+    Removing a doc can SPLIT its component (it may have been the only
+    bridge), so affected components must re-cluster — but ONLY they:
+
+    1. Affected component ids = components containing a removed doc
+       (broadcast semi over the standing assignment — scan, no
+       shuffle).
+    2. Their members and their surviving edges are pulled with
+       broadcast joins (verified ``passed`` edges connect only
+       same-component docs, so one endpoint in an affected component
+       implies both are members).
+    3. Connected components re-runs on that sub-graph ONLY; survivors
+       with no surviving edge become singletons.
+    4. Untouched rows stream through a broadcast anti join.
+
+    ``edges``: the standing verified duplicate edges (src, dst) — kept
+    per stage by the checkpoint store. Component-id invariant (ids are
+    member minima) is preserved: the sub-clustering yields minima of
+    the surviving sub-components, which are global minima.
+
+    Set ``broadcast_small=False`` if a removal batch touches components
+    whose combined membership outgrows the broadcast threshold.
+
+    Caveat (signature store hygiene, not correctness of THIS table): if
+    a removed doc was the signed representative of a byte-identical
+    group with surviving members, the content's signature row dies with
+    it — re-sign one survivor (the exact-link path of the next
+    ``run_incremental`` surfaces exactly the orphaned shas) before
+    folding further batches, or future increments can miss near-dup
+    candidates against that content.
+    """
+    bc = F.broadcast if broadcast_small else (lambda df: df)
+    rm = remove_ids.select("doc_id").distinct()
+    affected = (
+        base_assign.join(bc(rm), "doc_id", "left_semi")
+        .select("component_id")
+        .distinct()
+    )
+    members = base_assign.join(bc(affected), "component_id", "left_semi")
+    survivors = members.join(bc(rm), "doc_id", "left_anti").select("doc_id")
+    sub_edges = (
+        edges.join(
+            bc(members.select(F.col("doc_id").alias("src"))), "src", "left_semi"
+        )
+        .join(bc(rm.select(F.col("doc_id").alias("src"))), "src", "left_anti")
+        .join(bc(rm.select(F.col("doc_id").alias("dst"))), "dst", "left_anti")
+    )
+    sub_assign = connected_components(
+        sub_edges, max_iterations=max_iterations, salt_buckets=salt_buckets
+    )
+    re_clustered = (
+        survivors.join(sub_assign, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+        )
+    )
+    untouched = base_assign.join(bc(affected), "component_id", "left_anti")
+    return untouched.unionByName(re_clustered)
+
+
 def merge_cluster_summary(
     base_summary: DataFrame,
     comp_map: DataFrame,

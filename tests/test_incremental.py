@@ -191,6 +191,75 @@ class TestIncrementalCLI:
         assert io.read(spark, "docs").count() == 180
 
 
+class TestRemoveDocs:
+    def test_bridge_removal_splits_component(self, spark):
+        """Removing the bridge doc of a chain splits its component;
+        untouched components and singletons pass through."""
+        from gnames_spark.operators.components import all_components, connected_components
+        from gnames_spark.operators.incremental import remove_docs
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id long"
+        )
+        base = all_components(docs, connected_components(edges, max_iterations=20))
+        rm = spark.createDataFrame([(2,)], "doc_id long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in remove_docs(base, edges, rm, max_iterations=20).collect()
+        }
+        assert got == {1: 1, 3: 3, 4: 3, 10: 10, 11: 10, 20: 20}
+
+    def test_upsert_equals_fresh_run(self, spark):
+        """The full upsert flow — remove the old versions of re-crawled
+        urls, fold the new versions in — must equal a from-scratch run
+        over the v2 corpus."""
+        from gnames_spark.operators.incremental import remove_docs
+
+        # html dropped: prepare_docs re-extracts text when html is
+        # present, which would overwrite the recrawl marker below
+        v1 = generate_pages(spark, 160, seed=51).drop("html").cache()
+        # re-crawl targets: urls whose v1 content is unique (so removal
+        # orphans no shared-content signature — see remove_docs caveat)
+        from gnames_spark.operators.exact import with_content_sha
+
+        sha_counts = (
+            with_content_sha(v1.withColumn("doc_id", F.xxhash64("url")))
+            .groupBy("content_sha")
+            .agg(F.count("*").alias("n"), F.first("url").alias("url"))
+            .filter("n = 1")
+            .limit(12)
+        )
+        target_urls = {r["url"] for r in sha_counts.collect()}
+        is_target = F.col("url").isin(list(target_urls))
+        updated = v1.filter(is_target).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" recrawl marker tokens appended"))
+        ).cache()
+        v2 = v1.filter(~is_target).unionByName(updated)
+
+        want = _assign(DedupPipeline(spark, CFG).run(v2)["components"])
+
+        base = DedupPipeline(spark, CFG).run(v1)
+        rm = v1.filter(is_target).select(F.xxhash64("url").alias("doc_id"))
+        pruned_assign = remove_docs(
+            base["components"],
+            base["verified_pairs"].filter("passed").select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            rm,
+        )
+        pruned_base = {
+            "docs": base["docs"].join(F.broadcast(rm), "doc_id", "left_anti"),
+            "signatures": base["signatures"].join(F.broadcast(rm), "doc_id", "left_anti"),
+            "components": pruned_assign,
+        }
+        inc = DedupPipeline(spark, CFG).run_incremental(updated, pruned_base)
+        got = _assign(inc["components"])
+        assert got == want
+
+
 class TestMergeComponents:
     def _run(self, spark, old_edges, old_nodes, new_edges, new_nodes):
         base_edges = spark.createDataFrame(old_edges, "src long, dst long")
