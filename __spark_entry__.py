@@ -36,6 +36,7 @@ from gnames_spark.functions.textstats import (
 from gnames_spark.operators.components import all_components, connected_components
 from gnames_spark.operators.embeddings import (
     ann_dup_pairs,
+    ann_topk,
     blocked_cosine_pairs,
     cosine_topk,
 )
@@ -466,6 +467,24 @@ def q_emb_ann_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     pairs, _ = ann_dup_pairs(emb, 0.4, dim=64)
     return pairs
+
+
+def q_emb_ann_topk(spark, sf_dir):
+    """ANN top-k under the FULL oracle — thresholded top-3: rank only
+    neighbors with cosine >= 0.4 (the characterized miss class of
+    sign-LSH top-k is exactly the below-min_cosine tail, so the
+    thresholded form is deterministic and brute-force-reproducible).
+    Same multi-band machinery as emb_ann_pairs (banding derived from
+    min_cosine via optimal_sign_bands, catch probability >= 0.99 at
+    cosine == 0.4; measured recall: ANN_RECALL.json ann_topk section);
+    candidates dedup before join-back hydration; each unordered pair
+    scores once and mirrors to both query directions
+    (operators/embeddings.py:ann_topk)."""
+    emb = _emb(spark, sf_dir)
+    topk, _ = ann_topk(
+        emb, dim=64, k=3, min_cosine=0.4, round_digits=5, filter_below_min=True
+    )
+    return topk.select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -915,6 +934,62 @@ def q_x4_authorship_extract(spark, sf_dir):
     )
 
 
+def q_x5_author_normalize(spark, sf_dir):
+    """X5: author normalization — the reference's authorsNormalize /
+    authNormalize chain (/root/reference/pkg/ent/score/auth.go:143-181):
+    split on spaces, trim a trailing annotation word (fil., I, II,
+    III), keep the LAST word, strip a leading d' particle, strip
+    trailing dots, fold through the alias map (Linné/Linne→Linn,
+    Sokolov→Sokoloff), then sort the per-record author list. Author
+    strings are synthesized deterministically from customer keys so
+    every branch fires; the whole chain is pure Catalyst (split /
+    slice / regexp_replace / create_map), no UDF."""
+    c = _tpch(spark, sf_dir, "customer")
+    lasts = ["Linné", "Linne", "Sokolov", "d'Arcy", "Smith.", "Jones"]
+    annots = ["", " fil.", " I", " II", " III"]
+
+    def author(key):
+        last = F.element_at(
+            F.array(*[F.lit(x) for x in lasts]), (key % 6 + 1).cast("int")
+        )
+        an = F.element_at(
+            F.array(*[F.lit(x) for x in annots]), (key % 5 + 1).cast("int")
+        )
+        return F.concat(F.lit("A. B. "), last, an)
+
+    raw = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.posexplode(
+            F.array(author(F.col("c_custkey")), author(F.col("c_custkey") * 7 + 3))
+        ).alias("slot", "author"),
+    )
+    words = F.split(F.col("author"), " ")
+    trimmed = (
+        F.when(
+            (F.size(words) > 1)
+            & F.element_at(words, -1).isin("fil.", "I", "II", "III"),
+            F.slice(words, 1, F.size(words) - 1),
+        ).otherwise(words)
+    )
+    last = F.element_at(trimmed, -1)
+    stripped = F.regexp_replace(
+        F.when(last.startswith("d'"), F.substring(last, 3, 1 << 30)).otherwise(last),
+        r"\.+$",
+        "",
+    )
+    alias_map = F.create_map(
+        F.lit("Linné"), F.lit("Linn"),
+        F.lit("Linne"), F.lit("Linn"),
+        F.lit("Sokolov"), F.lit("Sokoloff"),
+    )
+    norm = F.coalesce(F.element_at(alias_map, stripped), stripped)
+    return (
+        raw.select("cust_id", norm.alias("author_norm"))
+        .groupBy("cust_id")
+        .agg(F.array_sort(F.collect_list("author_norm")).alias("authors_norm"))
+    )
+
+
 def q_x7_year_proximity(spark, sf_dir):
     """X7: year-proximity enum — abs(year diff) bucketed into a match
     class (the reference scores year closeness as an enum,
@@ -1047,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_group_synth_id": q_a3_group_synth_id,
         "x6_collation_fold": q_x6_collation_fold,
         "x4_authorship_extract": q_x4_authorship_extract,
+        "x5_author_normalize": q_x5_author_normalize,
         "x7_year_proximity": q_x7_year_proximity,
         "x8_subterm_extract": q_x8_subterm_extract,
         "x12_outlink": q_x12_outlink,
@@ -1054,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_intersect_except": q_u4_intersect_except,
         "a6_group_stats": q_a6_group_stats,
         "emb_ann_pairs": q_emb_ann_pairs,
+        "emb_ann_topk": q_emb_ann_topk,
     }
 
 
@@ -1401,6 +1478,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders GROUP BY 1, 2, 3
         """,
+        "x5_author_normalize": """
+            WITH raw AS (
+              SELECT c_custkey AS cust_id, slot,
+                     concat('A. B. ',
+                       ['Linné','Linne','Sokolov','d''Arcy','Smith.','Jones'][(k % 6 + 1)::INT],
+                       ['',' fil.',' I',' II',' III'][(k % 5 + 1)::INT]) AS author
+              FROM (
+                SELECT c_custkey, 0 AS slot, c_custkey AS k FROM customer
+                UNION ALL
+                SELECT c_custkey, 1, c_custkey * 7 + 3 FROM customer
+              )
+            ), t AS (
+              SELECT cust_id, slot,
+                     CASE WHEN len(string_split(author, ' ')) > 1
+                               AND string_split(author, ' ')[-1] IN ('fil.','I','II','III')
+                          THEN string_split(author, ' ')[1:len(string_split(author, ' ')) - 1]
+                          ELSE string_split(author, ' ') END AS words
+              FROM raw
+            ), s AS (
+              SELECT cust_id, slot,
+                     regexp_replace(
+                       CASE WHEN words[-1] LIKE 'd''%' THEN words[-1][3:] ELSE words[-1] END,
+                       '\\.+$', '') AS base
+              FROM t
+            )
+            SELECT cust_id,
+                   list_sort(list(CASE base WHEN 'Linné' THEN 'Linn'
+                                            WHEN 'Linne' THEN 'Linn'
+                                            WHEN 'Sokolov' THEN 'Sokoloff'
+                                            ELSE base END)) AS authors_norm
+            FROM s GROUP BY cust_id
+        """,
         "x7_year_proximity": """
             SELECT CASE WHEN abs(year(l_shipdate) - year(o_orderdate)) = 0 THEN 'same_year'
                         WHEN abs(year(l_shipdate) - year(o_orderdate)) = 1 THEN 'adjacent'
@@ -1460,6 +1569,20 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        """,
+        "emb_ann_topk": """
+            WITH sims AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+                         AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+              ) AS rank
+              FROM sims WHERE cosine >= 0.4
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
         """,
     }
 

@@ -7,11 +7,13 @@ training-data mandate. Two tiers:
   Catalyst (`aggregate(zip_with(...))`) so the cross join's inner loop
   stays in whole-stage codegen. Correct at any scale where one side is
   broadcastable (queries × corpus); the corpus side streams.
-- ``hyperplane_buckets`` / ``ann_topk``: random-hyperplane (sign) LSH —
-  a seeded hyperplane matrix turns each vector into a b-bit signature;
-  candidates share a signature prefix bucket. The scale path: top-k
-  within buckets only, trading recall for a corpus-sized × small-k
-  join instead of a full cross product.
+- ``ann_dup_pairs`` / ``ann_topk``: banded random-hyperplane (sign)
+  LSH — n_bands buckets of band_bits hyperplane signs per vector
+  (width and count derived from the threshold and the corpus size),
+  posting-list self-join per (band, bucket), exact-cosine verify on
+  the deduped candidates. The scale path: candidate volume ∝ bucket
+  sizes × bands, never n²; recall at the target cosine is >= 0.99 by
+  banding construction and measured (ANN_RECALL.json).
 
 Kernel note: the hyperplane projection is a numpy matmul inside a
 pandas UDF (Arrow-batched), mirroring the MinHash kernel pattern.
@@ -76,63 +78,71 @@ def cosine_topk(
     )
 
 
-def make_hyperplane_udf(dim: int, n_bits: int, seed: int):
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_bits)).astype(np.float64)
-
-    @F.pandas_udf(T.LongType())
-    def sig(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes) >= 0
-        weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
-        packed = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
-        return pd.Series(packed.view(np.int64))
-
-    return sig
-
-
-def hyperplane_buckets(
-    vectors: DataFrame,
-    dim: int,
-    n_bits: int = 16,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(vec_id, embedding, bucket) — sign-LSH signature as bucket key."""
-    sig = make_hyperplane_udf(dim, n_bits, seed)
-    return vectors.withColumn("bucket", sig(F.col(vec_col)))
-
-
 def ann_topk(
     vectors: DataFrame,
     dim: int,
     k: int,
-    n_bits: int = 12,
+    min_cosine: float = 0.7,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k per vector: candidates limited to the same
-    sign-LSH bucket (self-join on bucket — the J1 posting shape again),
-    exact cosine within the bucket. The 10^12-scale path: bucket width
-    controls the candidate blow-up; multiple probe tables (different
-    seeds) raise recall the way LSH bands do."""
-    b = hyperplane_buckets(vectors, dim, n_bits, seed, id_col, vec_col)
-    lhs = b.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    n_bands: int | None = None,
+    band_bits: int = 8,
+    n_vectors_hint: int | None = None,
+    bucket_cap: int | None = None,
+    round_digits: int = 6,
+    filter_below_min: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Approximate top-k per vector via the SAME multi-band sign-LSH
+    machinery as :func:`ann_dup_pairs` — banding derived from
+    ``min_cosine`` (and, with ``n_vectors_hint``, from corpus size so
+    band width grows with log2(n); ANN_SCALE.json shows fixed-width
+    banding goes quadratic). Candidates are the UNION of all band
+    buckets a vector lands in, scored with exact Catalyst cosine on
+    join-back hydration, then ranked per query. Returns
+    ``(topk, overflow_buckets)``.
+
+    Characterized miss class (the reference documents its fuzzy-clamp
+    false negatives the same way, /root/reference/README.md:197-203):
+    a true neighbor with cosine >= min_cosine is caught with
+    probability >= 0.99 (the banding is derived from exactly that
+    constraint); true top-k entries BELOW min_cosine may be missing —
+    they are reported when a band happens to catch them, guaranteed
+    never. Measured recall vs :func:`cosine_topk`:
+    tools/ann_recall.py → ANN_RECALL.json (ann_topk section).
+
+    ``filter_below_min=True`` ranks only neighbors with cosine >=
+    min_cosine — the thresholded-top-k form whose result is exactly
+    reproducible by a brute-force SQL oracle (driver query
+    ``emb_ann_topk``).
+
+    Scale shape: identical to ann_dup_pairs — postings carry only
+    (band, bucket, vid); candidate pairs dedup BEFORE hydration; each
+    unordered pair scores its cosine once and is mirrored to both
+    query directions; the per-query window ranks a bucket-bounded
+    candidate list, never the corpus."""
+    cands, overflow = _banded_candidate_pairs(
+        vectors, min_cosine, dim, n_bands, band_bits, seed,
+        id_col, vec_col, bucket_cap, n_vectors_hint, round_digits,
     )
-    rhs = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "bucket"
-    )
-    joined = (
-        lhs.join(rhs, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity_col("_qv", "_cv"), 6))
-        .drop("_qv", "_cv", "bucket")
+    if filter_below_min:
+        cands = cands.filter(F.col("cosine") >= min_cosine)
+    mirrored = cands.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        cands.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "cosine",
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    topk = mirrored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return topk, overflow
 
 
 def blocked_cosine_pairs(
@@ -185,7 +195,7 @@ def blocked_cosine_pairs(
     tagged = lhs.unionByName(rhs)
     margin = float(threshold) - 1e-6
 
-    def gemm(key, pdf: pd.DataFrame):
+    def gemm(key: tuple[int, int], pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = key
         same = ba == bb
         if same:
@@ -333,6 +343,66 @@ def make_banded_hyperplane_udf(dim: int, n_bands: int, band_bits: int, seed: int
     return bands_udf
 
 
+def _banded_candidate_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bands: int | None,
+    band_bits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    bucket_cap: int | None,
+    n_vectors_hint: int | None,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared sign-LSH candidate machinery for :func:`ann_dup_pairs` and
+    :func:`ann_topk`: derive banding from (threshold, corpus size),
+    posting self-join per (band, bucket) with the hot-bucket cap,
+    dedup candidates, hydrate vectors by join-back and score exact
+    cosine. Returns ``(candidates_with_cosine, overflow_buckets)`` —
+    candidates are UNFILTERED by the threshold (top-k ranks below-
+    threshold collisions too; the pair miner filters)."""
+    if n_bands is None:
+        if n_vectors_hint is not None:
+            band_bits, n_bands = derive_sign_banding(threshold, n_vectors_hint)
+        else:
+            n_bands = optimal_sign_bands(threshold, band_bits)
+    sig = make_banded_hyperplane_udf(dim, n_bands, band_bits, seed)
+    posting = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(sig(F.col(vec_col))).alias("band", "bucket"),
+    )
+    spark = vectors.sparkSession
+    if bucket_cap is not None:
+        counts = posting.groupBy("band", "bucket").agg(F.count("*").alias("n_vecs"))
+        overflow = counts.filter(F.col("n_vecs") > bucket_cap)
+        posting = posting.join(
+            overflow.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
+    else:
+        overflow = spark.createDataFrame([], "band int, bucket long, n_vecs long")
+    lhs = posting.select("band", "bucket", F.col("vid").alias("id_a"))
+    rhs = posting.select("band", "bucket", F.col("vid").alias("id_b"))
+    cands = (
+        lhs.join(rhs, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine", F.round(cosine_similarity_col("_va", "_vb"), round_digits)
+        )
+        .select("id_a", "id_b", "cosine")
+    )
+    return scored, overflow
+
+
 def ann_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -380,45 +450,11 @@ def ann_dup_pairs(
     vec_id for just the DEDUPED candidate pairs — the same join-back
     hydration economics as the text pipeline's shingle-set recompute
     (pipeline.verified)."""
-    if n_bands is None:
-        if n_vectors_hint is not None:
-            band_bits, n_bands = derive_sign_banding(threshold, n_vectors_hint)
-        else:
-            n_bands = optimal_sign_bands(threshold, band_bits)
-    sig = make_banded_hyperplane_udf(dim, n_bands, band_bits, seed)
-    posting = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(sig(F.col(vec_col))).alias("band", "bucket"),
+    scored, overflow = _banded_candidate_pairs(
+        vectors, threshold, dim, n_bands, band_bits, seed,
+        id_col, vec_col, bucket_cap, n_vectors_hint,
     )
-    spark = vectors.sparkSession
-    if bucket_cap is not None:
-        counts = posting.groupBy("band", "bucket").agg(F.count("*").alias("n_vecs"))
-        overflow = counts.filter(F.col("n_vecs") > bucket_cap)
-        posting = posting.join(
-            overflow.select("band", "bucket"), ["band", "bucket"], "left_anti"
-        )
-    else:
-        overflow = spark.createDataFrame(
-            [], "band int, bucket long, n_vecs long"
-        )
-    lhs = posting.select("band", "bucket", F.col("vid").alias("id_a"))
-    rhs = posting.select("band", "bucket", F.col("vid").alias("id_b"))
-    cands = (
-        lhs.join(rhs, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
-    return pairs, overflow
+    return scored.filter(F.col("cosine") >= threshold), overflow
 
 
 def embedding_dup_pairs(

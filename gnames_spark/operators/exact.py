@@ -11,13 +11,22 @@ partial aggregation. Exact-dup *pairs* are emitted as star edges
 (every member → group-min doc), not all-pairs — a group of n byte-
 identical boilerplate pages yields n-1 edges, not n(n-1)/2, and the
 star is exactly what connected components needs.
+
+Skew: NO per-sha windows anywhere in this stage. A hot byte-identical
+page (empty page, parked-domain boilerplate — easily 10^7 copies in a
+crawl) would put the whole group in one task under
+`Window.partitionBy(content_sha)`. Instead every per-group value is
+computed with `groupBy().agg(...)` (partial aggregation shrinks the
+hot key map-side to one row per mapper) and member rows are recovered
+with an equi-join that AQE can skew-split and/or runtime-broadcast —
+the same fix the representatives stage uses
+(`representatives.py:43`).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 
 def with_content_sha(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -36,15 +45,22 @@ def exact_groups(docs_sha: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def exact_dup_edges(docs_sha: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Star edges (doc_a=group min, doc_b=member) for byte-identical docs.
 
-    Window-min over the sha partition avoids a join back; only groups
-    with >1 member emit edges.
+    Skew-safe: the group minimum comes from a `groupBy().agg(min, count)`
+    (map-side combined — a 10^7-copy hot sha contributes one partial row
+    per mapper, never one giant task), then members are recovered with an
+    equi-join on content_sha that AQE skew-splits. Only groups with >1
+    member participate in the join at all.
     """
-    w = W.partitionBy("content_sha")
+    groups = (
+        docs_sha.groupBy("content_sha")
+        .agg(F.min(id_col).alias("doc_a"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("content_sha", "doc_a")
+    )
     return (
         docs_sha.select(id_col, "content_sha")
-        .withColumn("doc_a", F.min(id_col).over(w))
-        .withColumn("n", F.count("*").over(w))
-        .filter((F.col("n") > 1) & (F.col(id_col) != F.col("doc_a")))
+        .join(groups, "content_sha")
+        .filter(F.col(id_col) != F.col("doc_a"))
         .select(
             F.col("doc_a"),
             F.col(id_col).alias("doc_b"),
@@ -60,10 +76,14 @@ def distinct_content(docs_sha: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is recovered through the exact star edges. Shrinks N for every
     downstream stage (the reference's exact-hit-suppresses-fuzzy rule,
     `/root/reference/README.md:188-195`).
+
+    Skew-safe: `min_by(struct(cols), id)` per sha — one map-side-combined
+    aggregation instead of a row_number window, so a hot sha never pins
+    a single task (same shape as `representatives.py:43`).
     """
-    w = W.partitionBy("content_sha").orderBy(F.col(id_col))
-    return (
-        docs_sha.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    cols = docs_sha.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    agg = docs_sha.groupBy("content_sha").agg(
+        F.min_by(row, F.col(id_col)).alias("_row")
     )
+    return agg.select(*[F.col(f"_row.{c}").alias(c) for c in cols])

@@ -248,13 +248,11 @@ def remove_docs(
     Set ``broadcast_small=False`` if a removal batch touches components
     whose combined membership outgrows the broadcast threshold.
 
-    Caveat (signature store hygiene, not correctness of THIS table): if
-    a removed doc was the signed representative of a byte-identical
-    group with surviving members, the content's signature row dies with
-    it — re-sign one survivor (the exact-link path of the next
-    ``run_incremental`` surfaces exactly the orphaned shas) before
-    folding further batches, or future increments can miss near-dup
-    candidates against that content.
+    Signature-store hygiene is handled separately: pair this with
+    :func:`transfer_orphaned_signatures` so that removing a signed
+    exact-group representative hands its signature row to a surviving
+    byte-identical copy (same content_sha ⇒ identical signature — a
+    relabel, not a recompute).
     """
     bc = F.broadcast if broadcast_small else (lambda df: df)
     rm = remove_ids.select("doc_id").distinct()
@@ -283,6 +281,58 @@ def remove_docs(
     )
     untouched = base_assign.join(bc(affected), "component_id", "left_anti")
     return untouched.unionByName(re_clustered)
+
+
+def transfer_orphaned_signatures(
+    base_docs: DataFrame,
+    base_sigs: DataFrame,
+    remove_ids: DataFrame,
+    broadcast_small: bool = True,
+) -> DataFrame:
+    """Signature table after a removal batch — the other half of
+    :func:`remove_docs`.
+
+    Only DISTINCT content is signed (the early-exit cascade signs one
+    representative per content_sha). If a removal kills that signed
+    representative while byte-identical copies survive, the content
+    would lose its signature row and later increments could miss
+    near-dup candidates against the survivors. Because the signature is
+    a pure function of the text, the fix is a relabel: hand the dead
+    representative's signature row to the minimum surviving doc of the
+    same content_sha. Contents with no survivor drop their row.
+
+    Scale shape: ``remove_ids`` (a removal batch, tiny vs the corpus)
+    broadcasts; ``base_docs`` and ``base_sigs`` are each scanned once
+    with broadcast semi/anti joins — the standing tables never shuffle.
+    The heir choice is a map-side-combined ``groupBy(content_sha).min``
+    over only the affected shas' members. Set ``broadcast_small=False``
+    for pathological removal batches.
+    """
+    bc = F.broadcast if broadcast_small else (lambda df: df)
+    rm = remove_ids.select("doc_id").distinct()
+    # shas whose SIGNED doc is being removed
+    dead = (
+        base_sigs.select("doc_id")
+        .join(bc(rm), "doc_id", "left_semi")
+        .join(base_docs.select("doc_id", "content_sha"), "doc_id")
+        .select(F.col("doc_id").alias("_dead"), "content_sha")
+    )
+    # minimum surviving member of each affected sha (the heir)
+    heirs = (
+        base_docs.select("doc_id", "content_sha")
+        .join(bc(dead.select("content_sha")), "content_sha", "left_semi")
+        .join(bc(rm), "doc_id", "left_anti")
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("_heir"))
+    )
+    transfer = dead.join(bc(heirs), "content_sha").select("_dead", "_heir")
+    kept = base_sigs.join(bc(rm), "doc_id", "left_anti")
+    moved = (
+        base_sigs.join(bc(transfer), base_sigs["doc_id"] == F.col("_dead"))
+        .withColumn("doc_id", F.col("_heir"))
+        .select(*base_sigs.columns)
+    )
+    return kept.unionByName(moved)
 
 
 def merge_cluster_summary(

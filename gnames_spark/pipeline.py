@@ -582,9 +582,12 @@ class DedupPipeline:
                 .select("rep_doc", "doc_id")
                 .persist()
             )
+            # doc ids are xxhash64(url), so the base rep is NOT always
+            # the smaller id — canonicalize to keep the doc_a < doc_b
+            # invariant every other candidate branch maintains
             link_edges = linked.select(
-                F.col("rep_doc").alias("doc_a"),
-                F.col("doc_id").alias("doc_b"),
+                F.least("rep_doc", "doc_id").alias("doc_a"),
+                F.greatest("rep_doc", "doc_id").alias("doc_b"),
                 F.lit("exact").alias("method"),
             )
 

@@ -104,10 +104,35 @@ class TestEmbeddings:
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(100, 101)}
 
     def test_ann_finds_planted_pair(self, spark, vectors):
-        res = ann_topk(vectors, dim=16, k=3, n_bits=4, seed=1)
-        got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
-        # near-identical vectors share every hyperplane bucket
+        res, overflow = ann_topk(vectors, dim=16, k=3, min_cosine=0.9, seed=1)
+        rows = res.collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        # the planted near-identical pair is >= min_cosine: banding is
+        # derived to catch it with p >= 0.99, both directions rank #1
         assert (100, 101) in got and (101, 100) in got
+        ranks = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in rows}
+        assert ranks[(100, 101)] == 1 and ranks[(101, 100)] == 1
+        assert overflow.count() == 0
+
+    def test_ann_topk_matches_exact_above_min_cosine(self, spark, vectors):
+        """Thresholded top-k (filter_below_min) equals brute force: every
+        (query, neighbor, rank) with cosine >= min_cosine agrees with
+        cosine_topk restricted the same way — the emb_ann_topk oracle
+        contract."""
+        exact = (
+            cosine_topk(vectors, vectors, k=3)
+            .filter(F.col("cosine") >= 0.9)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+        approx, _ = ann_topk(
+            vectors, dim=16, k=3, min_cosine=0.9, seed=1, filter_below_min=True
+        )
+        want = {tuple(r) for r in exact.collect()}
+        got = {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in approx.collect()
+        }
+        assert got == want and len(want) > 0
 
 
 def _png(w, h):

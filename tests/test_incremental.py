@@ -260,6 +260,80 @@ class TestRemoveDocs:
         assert got == want
 
 
+class TestSignatureTransfer:
+    def test_removed_signed_rep_still_finds_near_dup_of_survivor(self, spark):
+        """Remove the SIGNED representative of a byte-identical group
+        that has surviving copies, then fold in a near-dup of the
+        surviving content: the pair must still be found, because
+        transfer_orphaned_signatures handed the signature row to the
+        surviving copy. A negative control shows the naive prune
+        (anti-join only) misses the pair — the transfer is load-bearing."""
+        from gnames_spark.operators.incremental import (
+            remove_docs,
+            transfer_orphaned_signatures,
+        )
+
+        v1 = generate_pages(spark, 160, seed=51).drop("html").cache()
+        base = DedupPipeline(spark, CFG).run(v1)
+        grp = (
+            base["docs"]
+            .groupBy("content_sha")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep"))
+            .filter("n >= 2")
+            .orderBy("content_sha")
+            .limit(1)
+            .collect()[0]
+        )
+        rep_id = grp["rep"]
+        members = base["docs"].filter(F.col("content_sha") == grp["content_sha"])
+        heir_id = members.filter(F.col("doc_id") != rep_id).agg(
+            F.min("doc_id")
+        ).collect()[0][0]
+        # the early-exit cascade signed exactly the group minimum
+        assert base["signatures"].filter(F.col("doc_id") == rep_id).count() == 1
+        assert base["signatures"].filter(F.col("doc_id") == heir_id).count() == 0
+
+        rm = spark.createDataFrame([(rep_id,)], "doc_id long")
+        sigs_fixed = transfer_orphaned_signatures(base["docs"], base["signatures"], rm)
+        assert sigs_fixed.filter(F.col("doc_id") == rep_id).count() == 0
+        assert sigs_fixed.filter(F.col("doc_id") == heir_id).count() == 1
+        assert sigs_fixed.count() == base["signatures"].count()
+
+        surv_row = members.filter(F.col("doc_id") == heir_id).collect()[0]
+        new_pages = spark.createDataFrame(
+            [
+                (
+                    "https://recrawl.example/near-dup",
+                    surv_row["warc_ts"],
+                    surv_row["text"] + " three extra marker tokens",
+                    surv_row["lang"],
+                )
+            ],
+            "url string, warc_ts timestamp, text string, lang string",
+        )
+        pruned_assign = remove_docs(
+            base["components"],
+            base["verified_pairs"].filter("passed").select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            rm,
+        )
+        pruned_docs = base["docs"].join(F.broadcast(rm), "doc_id", "left_anti")
+
+        def fold(sigs):
+            inc = DedupPipeline(spark, CFG).run_incremental(
+                new_pages,
+                {"docs": pruned_docs, "signatures": sigs, "components": pruned_assign},
+            )
+            comp = {r["doc_id"]: r["component_id"] for r in inc["components"].collect()}
+            new_id = new_pages.select(F.xxhash64("url")).collect()[0][0]
+            return comp[new_id] == comp[heir_id]
+
+        assert fold(sigs_fixed), "near-dup of surviving content must cluster with it"
+        naive = base["signatures"].join(F.broadcast(rm), "doc_id", "left_anti")
+        assert not fold(naive), "negative control: naive prune should miss the pair"
+
+
 class TestMergeComponents:
     def _run(self, spark, old_edges, old_nodes, new_edges, new_nodes):
         base_edges = spark.createDataFrame(old_edges, "src long, dst long")

@@ -84,6 +84,47 @@ class TestExact:
         assert edges.count() == (n_members or 0) - n_groups
 
 
+class TestExactSkew:
+    """A hot byte-identical page (parked-domain boilerplate, 10^7 copies
+    in a real crawl) must never pin one task: the exact screen is
+    groupBy + join (AQE-splittable), never Window.partitionBy(sha)."""
+
+    def _mega(self, spark, n=20000):
+        from pyspark.sql import functions as F
+
+        hot = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("parked domain page").alias("text")
+        )
+        tail = spark.range(100000, 100020).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique "), F.col("id").cast("string")).alias("text"),
+        )
+        return with_content_sha(hot.unionByName(tail))
+
+    def test_edges_no_window_megagroup(self, spark):
+        from gnames_spark.plans.audit import physical_plan
+
+        sha = self._mega(spark)
+        edges = exact_dup_edges(sha)
+        assert "Window" not in physical_plan(edges)
+        assert edges.count() == 20000 - 1
+        got = edges.agg(F.min("doc_a"), F.max("doc_a"), F.min("doc_b")).collect()[0]
+        assert got[0] == 0 and got[1] == 0 and got[2] == 1
+
+    def test_distinct_content_no_window_megagroup(self, spark):
+        from gnames_spark.operators.exact import distinct_content
+        from gnames_spark.plans.audit import physical_plan
+
+        sha = self._mega(spark)
+        reps = distinct_content(sha)
+        assert "Window" not in physical_plan(reps)
+        assert reps.count() == 1 + 20
+        # representative of the hot group is the min doc_id, row intact
+        hot = reps.filter(F.col("text") == "parked domain page").collect()
+        assert len(hot) == 1 and hot[0]["doc_id"] == 0
+        assert set(reps.columns) == {"doc_id", "text", "content_sha"}
+
+
 class TestLSHRecall:
     def test_recall_gate(self, spark, docs, brute_pairs):
         """Dup-pair recall >= 0.99 vs brute-force oracle at tau (BASELINE gate)."""

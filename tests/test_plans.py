@@ -105,6 +105,24 @@ class TestJoinStrategies:
             spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+class TestExactScreenPlan:
+    """The exact screen scans the FULL corpus — its plan must contain no
+    per-sha Window (single-task hot groups); groupBy + AQE-splittable
+    join only (round-2 verdict, What's wrong #1)."""
+
+    def test_exact_stage_has_no_window(self, spark, docs):
+        from gnames_spark.operators.exact import (
+            distinct_content,
+            exact_dup_edges,
+            with_content_sha,
+        )
+        from gnames_spark.plans.audit import physical_plan
+
+        sha = with_content_sha(docs)
+        assert "Window" not in physical_plan(exact_dup_edges(sha))
+        assert "Window" not in physical_plan(distinct_content(sha))
+
+
 class TestPythonBoundary:
     def test_no_row_python_anywhere_in_pipeline(self, spark, docs):
         """The only Python in the plan is Arrow-vectorized (input_hint:

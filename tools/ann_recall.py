@@ -33,6 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from gnames_spark.operators.embeddings import (  # noqa: E402
     ann_dup_pairs,
+    ann_topk,
     blocked_cosine_pairs,
     derive_sign_banding,
     optimal_sign_bands,
@@ -115,6 +116,44 @@ def main() -> int:
         )
         print(f"bands={nb}x{bits} ({label}) design={report['sweeps'][-1]['design_catch']} "
               f"recall={recall:.4f} pairs={len(got)}/{len(exact)} [{secs:.1f}s]")
+
+    # --- ann_topk: thresholded top-k recall at the size-aware point ---
+    # exact thresholded top-k derives from the exact pair set (mirror +
+    # rank per query) — no second O(n²) pass
+    k = 3
+    exact_scored = {}
+    for r in blocked_cosine_pairs(allv, threshold, n_blocks=8).collect():
+        exact_scored.setdefault(r["id_a"], []).append((r["id_b"], r["cosine"]))
+        exact_scored.setdefault(r["id_b"], []).append((r["id_a"], r["cosine"]))
+    truth_topk = set()
+    for q, neigh in exact_scored.items():
+        neigh.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, cos) in enumerate(neigh[:k], start=1):
+            truth_topk.add((q, nid, rank))
+    t0 = time.monotonic()
+    approx, _ = ann_topk(
+        allv, dim=dim, k=k, min_cosine=threshold,
+        n_bands=sa_bands, band_bits=sa_bits, filter_below_min=True,
+    )
+    got_topk = {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in approx.collect()
+    }
+    topk_secs = time.monotonic() - t0
+    topk_recall = (len(got_topk & truth_topk) / len(truth_topk)) if truth_topk else 1.0
+    report["ann_topk"] = {
+        "k": k,
+        "min_cosine": threshold,
+        "n_bands": sa_bands,
+        "band_bits": sa_bits,
+        "truth_rows": len(truth_topk),
+        "found_rows": len(got_topk),
+        "recall": round(topk_recall, 4),
+        "secs": round(topk_secs, 2),
+    }
+    print(
+        f"ann_topk k={k} bands={sa_bands}x{sa_bits} recall={topk_recall:.4f} "
+        f"rows={len(got_topk)}/{len(truth_topk)} [{topk_secs:.1f}s]"
+    )
 
     with open("ANN_RECALL.json", "w") as f:
         json.dump(report, f, indent=1)
