@@ -58,6 +58,7 @@ def _bench_queries(spark, sf_dir):
         "emb_topk",
         "emb_sim_pairs",
         "emb_ann_pairs",
+        "emb_ann_topk",
         "text_token_counts",
         "text_fingerprint",
         "s6_faceted_search",

@@ -38,10 +38,42 @@ class StageResult:
     reused: bool
 
 
+_REMOTE_SCHEMES = (
+    "s3://", "s3a://", "s3n://", "hdfs://", "gs://",
+    "abfs://", "abfss://", "wasb://", "wasbs://", "oss://",
+)
+
+
 class ParquetCheckpointIO:
-    """Parquet-dir checkpoint store with JSON manifest + atomic replace."""
+    """Parquet-dir checkpoint store with JSON manifest + atomic replace.
+
+    The manifests, lineage markers, and the CLI's promoted-batches
+    marker use DRIVER-LOCAL filesystem I/O (os.makedirs / open /
+    os.replace for atomicity), so the root must be a path the driver
+    sees as a POSIX filesystem — a local dir, or a shared mount (NFS)
+    in client deploy-mode. Object-store / HDFS roots are REJECTED at
+    construction: Spark would resolve the URI scheme while the
+    manifests landed under a literal local ``./s3:…`` directory —
+    a split-brained store whose resume contract silently never fires.
+    For object-store-backed production checkpoints use
+    :class:`IcebergCheckpointIO` (atomic table replace, no local
+    manifest files, survives an ephemeral cluster-deploy-mode driver).
+    """
 
     def __init__(self, root: str, config_hash: str):
+        low = root.lower()
+        if any(low.startswith(s) for s in _REMOTE_SCHEMES):
+            raise ValueError(
+                f"ParquetCheckpointIO root {root!r} is a remote URI: "
+                "manifests and idempotence markers are driver-local "
+                "files, so a remote root split-brains (data under the "
+                "URI, manifests under a local directory literally "
+                "named after the scheme). Use a driver-visible POSIX "
+                "path (local or shared mount), or IcebergCheckpointIO "
+                "for object-store-backed checkpoints."
+            )
+        if low.startswith("file://"):
+            root = root[len("file://"):] or "/"
         self.root = root
         self.config_hash = config_hash
         os.makedirs(root, exist_ok=True)
@@ -65,6 +97,15 @@ class ParquetCheckpointIO:
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._data_path(stage))
+
+    def manifest_rows(self, stage: str) -> int | None:
+        """Row count recorded in a completed stage's manifest — lets
+        cross-stage coherence checks run without scanning the standing
+        tables (None when the stage is absent/incomplete)."""
+        if not self.is_complete(stage):
+            return None
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f).get("rows")
 
     def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> StageResult:
         """Materialize df; atomic: data lands in a tmp dir, manifest is

@@ -5,13 +5,24 @@ of N and 4N executors"; this module is that surface. Typical cluster
 invocation:
 
     python tools/make_pyfiles.py dist/gnames_spark.zip
-    spark-submit --master yarn --deploy-mode cluster \
+    spark-submit --master yarn --deploy-mode client \
         --num-executors 1000 --executor-cores 4 \
         --conf spark.sql.shuffle.partitions=8192 \
         --py-files dist/gnames_spark.zip \
         jobs/dedup_job.py \
         --input s3://bucket/crawl/pages --output s3://bucket/crawl/dedup \
-        --checkpoint-dir s3://bucket/crawl/ckpt --cc-checkpoint-rounds
+        --checkpoint-dir /mnt/shared/crawl/ckpt --cc-checkpoint-rounds
+
+``--checkpoint-dir`` must be a DRIVER-VISIBLE POSIX path (local disk or
+a shared mount): the parquet checkpoint store keeps its manifests and
+the promoted-batches marker as driver-local files, and
+ParquetCheckpointIO fails fast on object-store/HDFS URIs (the data
+would land under the URI while the manifests split-brained into a
+local directory). Use client deploy-mode so the marker outlives the
+job, or — for object-store-backed checkpoints and cluster deploy-mode,
+where the driver container (and any local marker) is ephemeral — the
+IcebergCheckpointIO backend (checkpoint.py), whose atomic table
+replaces need no local files.
 
 Design rules:
 - The script never chooses a master, executor topology, or driver
@@ -157,6 +168,28 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
         batch_id = args.batch_id or hashlib.sha256(args.input.encode()).hexdigest()[:12]
+        # cross-stage coherence guard: the promote below is idempotent
+        # per stage but not transactional ACROSS stages — a crash
+        # between the docs and components promotes leaves a standing
+        # corpus where every stage is individually complete yet the doc
+        # populations disagree. Folding a DIFFERENT batch in that
+        # window would produce components missing the crashed batch's
+        # docs; re-running the SAME batch heals (the append-if-absent
+        # promote completes the missing stages), so the guard compares
+        # manifest row counts (docs must equal components — one
+        # assignment row per doc; no table scan) and refuses new
+        # batches until the crashed one is re-run.
+        n_docs_m = pipe.io.manifest_rows("docs")
+        n_comp_m = pipe.io.manifest_rows("components")
+        healing = pipe.io.is_complete(f"inc_{batch_id}_docs")
+        if n_docs_m != n_comp_m and not healing:
+            print(f"--incremental: standing corpus is mid-promote "
+                  f"(docs manifest rows={n_docs_m}, components "
+                  f"manifest rows={n_comp_m}); a prior batch's promote "
+                  f"crashed between stages. Re-run THAT batch id to "
+                  f"heal before folding batch {batch_id}",
+                  file=sys.stderr)
+            return 2
         # idempotence marker: a batch promoted into the standing corpus
         # must never fold twice (a crash AFTER promote but BEFORE the
         # caller saw success, or a blind re-run, would otherwise pair the
@@ -234,10 +267,17 @@ def main(argv: list[str] | None = None) -> int:
             continue
         res[name].write.mode("overwrite").parquet(f"{out}/{name}")
 
+    from gnames_spark.session import _TUNING_CONFS
+
     run_doc = {
         "run_id": pipe.metrics.run_id,
         "config": asdict(cfg),
         "config_hash": cfg.config_hash(),
+        # effective engine confs (lineage: library defaults yield to
+        # submit-line --conf; this records which value actually ran)
+        "engine_confs": {
+            k: spark.conf.get(k, "unset") for k in sorted(_TUNING_CONFS)
+        },
         "stages": [
             {"stage": m.stage, "rows": m.rows, "secs": round(m.secs, 3)}
             for m in pipe.metrics.stages

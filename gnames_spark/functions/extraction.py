@@ -20,6 +20,42 @@ Algorithm (documented as the contract, tested against golden bytes):
 2. replace every remaining tag with a single space;
 3. unescape HTML entities;
 4. collapse whitespace runs to one space; strip.
+
+Divergence contract on real-world (malformed) HTML. The regex pass is
+NOT an HTML5 tree builder; on crawl-grade tag soup it diverges from a
+real parser in five known, deterministic classes — pinned by golden
+bytes in tests/test_extraction_goldens.py the same way the reference
+documents the false-negative class of its fuzzy clamp
+(`/root/reference/README.md:197-203`):
+
+A. '>' inside an attribute value ends the tag early: the rest of the
+   attribute list leaks into the text (`<a title="a > b" href=...>`
+   leaks `b" href=...>`).
+B. An unclosed drop-block (`<script>` with no `</script>`) is not
+   dropped as a block: the tag itself is stripped but its BODY leaks
+   as text.
+C. CDATA sections are not understood: `<![CDATA[` is consumed like a
+   tag, up to the FIRST '>'. Two sub-cases: a payload containing '>'
+   (e.g. an embedded tag) leaks from that point on, with a `]]>`
+   remnant surviving; a payload with NO '>' is swallowed entirely,
+   `]]>` included — the one class that DROPS bytes (CDATA is
+   script/markup payload, not visible text, so dropping matches what
+   a real parser renders).
+D. An unclosed comment (`<!--` with no `-->`) is not dropped; it is
+   consumed like a tag — only up to the first '>' — so trailing
+   content leaks rather than being swallowed to EOF (a real parser
+   drops everything to EOF here; we keep more, never less).
+E. Unescape runs AFTER tag stripping, so escaped markup in text
+   (`&lt;script&gt;`) becomes literal `<script>` text and is NOT
+   re-stripped (single-pass, no unescape-then-strip loops — this also
+   means entity-encoded markup can never cause a second round of
+   removal, a determinism property, not a bug).
+
+Classes A/B/D/E err toward KEEPING bytes (noise in `text`) and C2
+drops only non-rendered CDATA payload; visible content is never lost.
+Downstream shingling treats the noise as ordinary tokens, and
+byte-identity per url holds because every class is a pure function of
+the input bytes.
 """
 
 from __future__ import annotations

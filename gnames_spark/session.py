@@ -28,10 +28,13 @@ def get_spark(
     ``inherit_master=True`` is the spark-submit path: no ``.master()``
     and no driver-memory override, so the cluster manager, executor
     topology, and driver sizing chosen on the ``spark-submit`` command
-    line win; only the engine's semantic/tuning confs (AQE, Arrow, SHJ
-    preference, UTC) are applied, and even those yield to explicit
-    ``--conf`` because an existing session's conf is never replaced by
-    ``getOrCreate``.
+    line win. The engine's tuning confs (AQE, Arrow, SHJ preference,
+    coalesce floor, UTC) also yield to explicit ``--conf``: on a fresh
+    driver ``getOrCreate`` would apply ``builder.config`` OVER the
+    submit-line properties, so each tuning conf is set only when absent
+    from the ambient SparkConf — operators can disable AQE, the SHJ
+    preference, the 64k minPartitionSize floor, or the UTC session
+    timezone from the command line.
     """
     if inherit_master:
         builder = SparkSession.builder.appName(app_name)
@@ -39,7 +42,7 @@ def get_spark(
             builder = builder.config(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)
             )
-        builder = _tuning(builder)
+        builder = _tuning(builder, respect_ambient=True)
         for k, v in (extra_conf or {}).items():
             builder = builder.config(k, v)
         spark = builder.getOrCreate()
@@ -100,28 +103,52 @@ def get_spark(
     return spark
 
 
-def _tuning(builder):
-    """Engine tuning shared by local and spark-submit sessions."""
-    return (
-        builder
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing targets BYTES, but the verify stages downstream
-        # of candidate joins are tiny-bytes / heavy-Python-CPU (pair ids
-        # + short texts feeding rolling-hash / Jaccard kernels). The
-        # default 1MB minPartitionSize floor collapses them to 1-2
-        # partitions and the pandas kernel runs single-threaded
-        # (measured: substring verify 44s -> 4s at sf0.1 with the floor
-        # lowered). parallelismFirst still targets default parallelism,
-        # so large shuffles are unaffected.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # prefer shuffled-hash over sort-merge: verification joins carry
-        # ~2.4KB array payloads per row that SMJ would sort on both
-        # sides; SHJ builds a hash map instead (AQE still falls back to
-        # SMJ when a build side is too large)
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-    )
+_TUNING_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalescing targets BYTES, but the verify stages downstream
+    # of candidate joins are tiny-bytes / heavy-Python-CPU (pair ids
+    # + short texts feeding rolling-hash / Jaccard kernels). The
+    # default 1MB minPartitionSize floor collapses them to 1-2
+    # partitions and the pandas kernel runs single-threaded
+    # (measured: substring verify 44s -> 4s at sf0.1 with the floor
+    # lowered). parallelismFirst still targets default parallelism,
+    # so large shuffles are unaffected.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # prefer shuffled-hash over sort-merge: verification joins carry
+    # ~2.4KB array payloads per row that SMJ would sort on both
+    # sides; SHJ builds a hash map instead (AQE still falls back to
+    # SMJ when a build side is too large)
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+}
+
+
+def _tuning(builder, respect_ambient: bool = False):
+    """Engine tuning shared by local and spark-submit sessions.
+
+    ``respect_ambient=True`` (the spark-submit path): a conf already
+    present in the ambient SparkConf — i.e. set via ``--conf`` on the
+    submit line, which lands in the driver's system properties before
+    any session exists — is left alone, so the operator's explicit
+    choice wins over the library default even on a fresh driver where
+    ``builder.config`` would otherwise override it."""
+    ambient = None
+    if respect_ambient:
+        from pyspark import SparkConf, SparkContext
+
+        # SparkConf(loadDefaults=True) reads spark.* JVM system
+        # properties — where spark-submit puts --conf values — but only
+        # once the py4j gateway exists; before any session is built the
+        # gateway is not yet up, so ensure it first (in a submitted
+        # driver this just attaches to the already-running JVM)
+        SparkContext._ensure_initialized()
+        ambient = SparkConf(loadDefaults=True)
+    for k, v in _TUNING_CONFS.items():
+        if ambient is not None and ambient.contains(k):
+            continue
+        builder = builder.config(k, v)
+    return builder

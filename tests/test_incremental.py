@@ -191,6 +191,88 @@ class TestIncrementalCLI:
         assert io.read(spark, "docs").count() == 180
 
 
+class TestCheckpointSafety:
+    def test_remote_checkpoint_root_rejected(self):
+        """Manifests/markers are driver-local files: an object-store or
+        HDFS root would split-brain the store, so construction fails
+        fast with a pointer at the Iceberg backend."""
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+
+        for root in ("s3://b/ckpt", "s3a://b/ckpt", "hdfs://nn/ckpt",
+                     "gs://b/ckpt", "abfss://c@a/ckpt"):
+            with pytest.raises(ValueError, match="Iceberg"):
+                ParquetCheckpointIO(root, "cfg")
+
+    def test_file_uri_normalized(self, tmp_path):
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+
+        io = ParquetCheckpointIO(f"file://{tmp_path}/ck", "cfg")
+        assert io.root == f"{tmp_path}/ck"
+
+    def test_half_applied_promote_refuses_new_batch_then_heals(
+        self, spark, tmp_path
+    ):
+        """Crash window between stage promotes: docs carry batch b1 but
+        components do not. Folding a DIFFERENT batch must be refused
+        (coherence guard on manifest row counts); re-running b1 heals
+        the store; the next batch then folds and the final assignment
+        equals a from-scratch run."""
+        import os
+
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 120, seed=37).cache()
+        part = F.pmod(F.xxhash64("url"), F.lit(3))
+        paths = {}
+        for i in range(3):
+            p = str(tmp_path / f"b{i}.parquet")
+            pages.filter(part == F.lit(i)).write.parquet(p)
+            paths[i] = p
+        ckpt = str(tmp_path / "ckpt")
+        caps = ["--bucket-cap", "100000", "--anchor-cap", "100000",
+                "--shuffle-partitions", "8"]
+        assert main(["--input", paths[0], "--output", str(tmp_path / "o0"),
+                     "--checkpoint-dir", ckpt] + caps) == 0
+
+        cfg = DedupConfig(shuffle_partitions=8, bucket_cap=100_000,
+                          anchor_cap=100_000)
+        io = ParquetCheckpointIO(ckpt, cfg.config_hash())
+        base_comp_rows = [
+            (r["doc_id"], r["component_id"])
+            for r in io.read(spark, "components").collect()
+        ]
+        assert main(["--input", paths[1], "--output", str(tmp_path / "o1"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b1"] + caps) == 0
+        # simulate the crash: components rolled back to the base
+        # assignment, marker gone — docs/signatures carry b1, components
+        # do not, every stage individually complete
+        io.write(
+            spark.createDataFrame(base_comp_rows, "doc_id long, component_id long"),
+            "components",
+        )
+        os.remove(os.path.join(ckpt, "_promoted_batches.json"))
+        assert io.manifest_rows("docs") != io.manifest_rows("components")
+
+        # a NEW batch must be refused
+        assert main(["--input", paths[2], "--output", str(tmp_path / "o2"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b2"] + caps) == 2
+        # re-running the crashed batch heals (inc_b1_* stages reused)
+        assert main(["--input", paths[1], "--output", str(tmp_path / "o1h"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b1"] + caps) == 0
+        assert io.manifest_rows("docs") == io.manifest_rows("components")
+        # and the next batch now folds cleanly
+        assert main(["--input", paths[2], "--output", str(tmp_path / "o2b"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b2"] + caps) == 0
+        got = _assign(io.read(spark, "components"))
+        want = _assign(DedupPipeline(spark, cfg).run(pages)["components"])
+        assert got == want
+
+
 class TestRemoveDocs:
     def test_bridge_removal_splits_component(self, spark):
         """Removing the bridge doc of a chain splits its component;

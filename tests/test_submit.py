@@ -89,6 +89,10 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
         "--master", "local[2]",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.driver.memory=2g",
+        # operator override of a library tuning conf: must WIN on a
+        # fresh driver (get_spark only sets tuning confs absent from
+        # the ambient SparkConf)
+        "--conf", "spark.sql.session.timeZone=America/New_York",
         "--py-files", zip_path,
         str(job),
         "--input", "/root/testdata/sf0.001/documents.parquet",
@@ -119,3 +123,8 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     doc = json.loads(open(out / "run" / run_files[0]).read())
     assert doc["config"]["shuffle_partitions"] == 4
     assert any(s["stage"] == "components" for s in doc["stages"])
+    # submit-line --conf beat the library default; untouched tuning
+    # confs kept the library defaults
+    assert doc["engine_confs"]["spark.sql.session.timeZone"] == "America/New_York"
+    assert doc["engine_confs"]["spark.sql.join.preferSortMergeJoin"] == "false"
+    assert doc["engine_confs"]["spark.sql.adaptive.enabled"] == "true"
