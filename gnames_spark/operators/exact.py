@@ -77,13 +77,20 @@ def distinct_content(docs_sha: DataFrame, id_col: str = "doc_id") -> DataFrame:
     downstream stage (the reference's exact-hit-suppresses-fuzzy rule,
     `/root/reference/README.md:188-195`).
 
-    Skew-safe: `min_by(struct(cols), id)` per sha — one map-side-combined
-    aggregation instead of a row_number window, so a hot sha never pins
-    a single task (same shape as `representatives.py:43`).
+    Skew-safe AND prune-friendly: the representative id is a map-side-
+    combined `groupBy(sha).agg(min(id))`, and the full row is recovered
+    with a LEFT SEMI join on the composite (content_sha, id) key — the
+    key includes the unique doc id, so a 10^7-copy hot sha spreads its
+    rows across partitions instead of pinning one task, and (unlike a
+    min_by over a struct of every column, which forces the scan to read
+    ALL columns) Catalyst column pruning flows through the semi join:
+    a downstream `select(doc_id, text)` reads exactly those columns
+    (measured: the struct form made the 120k signature stage read and
+    shuffle every column). Exactly one row per sha given unique doc
+    ids (the pipeline's doc_id = xxhash64(url) with unique urls per
+    batch — prepare_docs' contract).
     """
-    cols = docs_sha.columns
-    row = F.struct(*[F.col(c) for c in cols])
-    agg = docs_sha.groupBy("content_sha").agg(
-        F.min_by(row, F.col(id_col)).alias("_row")
+    reps = docs_sha.groupBy("content_sha").agg(F.min(id_col).alias(id_col))
+    return docs_sha.join(reps, ["content_sha", id_col], "left_semi").select(
+        *docs_sha.columns
     )
-    return agg.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
