@@ -416,6 +416,54 @@ class TestSignatureTransfer:
         assert not fold(naive), "negative control: naive prune should miss the pair"
 
 
+class TestSignatureTransferInvariants:
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_random_removals_preserve_store_invariants(self, spark, seed):
+        """For ANY removal set: (a) no removed doc keeps a signature,
+        (b) every content with >= 1 survivor keeps EXACTLY one
+        signature row, attached to a surviving member — the original
+        rep if it survived, else the min survivor, (c) contents with no
+        survivor lose their row, (d) signature payloads are preserved
+        (a transfer is a relabel, never a recompute)."""
+        from gnames_spark.operators.incremental import transfer_orphaned_signatures
+
+        rng = np.random.RandomState(seed)
+        docs_rows, sig_rows = [], []
+        sha_members: dict[int, list[int]] = {}
+        doc_id = 100
+        for sha_i in range(12):
+            members = sorted(
+                {doc_id + int(x) for x in rng.choice(50, size=rng.randint(1, 6))}
+            )
+            doc_id += 60
+            sha_members[sha_i] = members
+            for m in members:
+                docs_rows.append((m, f"sha{sha_i}"))
+            sig_rows.append((min(members), [sha_i * 10, sha_i * 10 + 1]))
+        docs = spark.createDataFrame(docs_rows, "doc_id long, content_sha string")
+        sigs = spark.createDataFrame(sig_rows, "doc_id long, bands array<long>")
+        all_ids = [d for d, _ in docs_rows]
+        rm_ids = sorted(rng.choice(all_ids, size=len(all_ids) // 3, replace=False))
+        rm = spark.createDataFrame([(int(i),) for i in rm_ids], "doc_id long")
+
+        out = {
+            r["doc_id"]: list(r["bands"])
+            for r in transfer_orphaned_signatures(docs, sigs, rm).collect()
+        }
+        rm_set = set(int(i) for i in rm_ids)
+        assert not (set(out) & rm_set)  # (a)
+        for sha_i, members in sha_members.items():
+            survivors = [m for m in members if m not in rm_set]
+            signed = [m for m in survivors if m in out]
+            orig_rep = min(members)
+            if not survivors:
+                assert signed == []  # (c)
+                continue
+            expect = orig_rep if orig_rep not in rm_set else min(survivors)
+            assert signed == [expect], (sha_i, survivors, signed)  # (b)
+            assert out[expect] == [sha_i * 10, sha_i * 10 + 1]  # (d)
+
+
 class TestMergeComponents:
     def _run(self, spark, old_edges, old_nodes, new_edges, new_nodes):
         base_edges = spark.createDataFrame(old_edges, "src long, dst long")
