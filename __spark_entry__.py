@@ -487,6 +487,35 @@ def q_emb_ann_topk(spark, sf_dir):
     return topk.select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF top-k under the FULL oracle — the second ANN family the
+    training-data mandate names ("an IVF or LSH-bucketed variant"):
+    spherical k-means coarse quantizer trained on a bounded
+    deterministic sample, single-cell index, multi-probe query,
+    exact-cosine rerank, thresholded top-3 (operators/ivf.py).
+
+    Config honesty: nprobe=20 of 22 cells here because tau=0.4 is a
+    deliberately loose threshold on this near-isotropic toy table (59
+    undirected pairs in 125k — mostly CROSS-cluster, the worst case
+    for data-adaptive cells), so exact brute-force reproduction needs
+    probing most cells at n=500. The oracle row checks the MACHINERY
+    exactly (deterministic training, assignment, probing, no-dedup
+    candidates, join-back hydration, thresholded ranking); the
+    efficiency claim — high recall at a small scan fraction on
+    CLUSTERED corpora, the shape real embeddings have — is measured
+    separately in ANN_RECALL.json (ivf_topk section, tools/
+    ivf_recall.py) and pinned by tests/test_ivf.py (recall >= 0.95 at
+    2 of 8 probes)."""
+    from gnames_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    topk, _ = ivf_topk(
+        emb, emb, k=3, n_cells=22, nprobe=20, seed=7,
+        min_cosine=0.4, round_digits=5,
+    )
+    return topk.select("query_id", "neighbor_id", "cosine", "rank")
+
+
 # --------------------------------------------------------------------------
 # events_* — streaming-shaped batch operators
 # --------------------------------------------------------------------------
@@ -1131,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_group_stats": q_a6_group_stats,
         "emb_ann_pairs": q_emb_ann_pairs,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
@@ -1571,6 +1601,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         """,
         "emb_ann_topk": """
+            WITH sims AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+                         AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+              ) AS rank
+              FROM sims WHERE cosine >= 0.4
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        # IVF at (n_cells=22, nprobe=20, tau=0.4) on this table equals
+        # brute force EXACTLY (verified config, deterministic trainer) —
+        # so the oracle is the same thresholded-top-3 brute force as
+        # emb_ann_topk; the Spark side takes the k-means/multi-probe
+        # path instead of the sign-LSH one.
+        "emb_ivf_topk": """
             WITH sims AS (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)

@@ -1,0 +1,247 @@
+"""IVF (inverted-file) similarity search — the k-means scale path.
+
+No reference counterpart (gnames has no vectors); required by the
+training-data mandate, which names BOTH ANN families: "an IVF or
+LSH-bucketed variant as the scale path". The sign-LSH family lives in
+operators/embeddings.py; this module is the IVF family:
+
+- :func:`train_ivf_centroids` — spherical k-means coarse quantizer
+  trained on a BOUNDED, deterministic sample (the driver pull is
+  ``sample_n × dim`` floats regardless of corpus size — the standard
+  coarse-quantizer training shape: centroid quality needs a
+  representative sample, not the corpus).
+- :func:`build_ivf_index` — one pass over the corpus assigning every
+  vector to its single nearest centroid cell. The posting table
+  carries ONLY ``(cell, vid)``; a caller with repeated query batches
+  writes it bucketed by ``cell`` once and reuses it (same economics
+  as sources/tables.write_bucketed).
+- :func:`ivf_topk` — per query, probe the ``nprobe`` nearest cells,
+  candidate set = union of those cells' postings, exact Catalyst
+  cosine on join-back hydration, rank top-k per query.
+
+Why this complements sign-LSH rather than duplicating it: LSH buckets
+are data-independent (random hyperplanes — recall at a given cosine is
+ANALYTIC, which is why ann_dup_pairs can derive banding from the
+threshold), IVF cells are data-ADAPTIVE (k-means follows the corpus
+density — far fewer probes per query on clustered real-world
+embeddings, but recall is empirical, not derivable). So: LSH for
+threshold-mining with a recall guarantee, IVF for cheap repeated
+top-k serving. Measured recall + scan fraction: tools/ivf_recall.py →
+ANN_RECALL.json (ivf_topk section).
+
+Scale shape (10^12 vectors): centroids are a ``n_cells × dim`` float
+broadcast (derive_ivf_cells caps at 2^16 cells ≈ 16 MB at dim=64);
+the corpus shuffles ONCE by cell at index build; each query ships
+``nprobe`` rows of (cell, qid) — vectors hydrate by join-back only
+for scoring. Unlike multi-band LSH every vector lives in EXACTLY ONE
+cell, so candidates need no dedup and the index is not replicated
+n_bands times. k-means cells on real corpora skew (dense regions →
+hot cells): ``cell_cap`` drops over-full cells into an overflow
+DataFrame, never silently (same policy as lsh.capped_buckets). Past
+the 2^16-cell cap the composition is hierarchical (train a second
+quantizer within each coarse cell — the operator composes over
+``build_ivf_index``'s output); a single flat quantizer with 10^9
+centroids would not broadcast, and this module does not pretend it
+would.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from gnames_spark.operators.embeddings import cosine_similarity_col
+
+
+def derive_ivf_cells(n_vectors: int, min_cells: int = 4, max_cells: int = 65536) -> int:
+    """Cell count ≈ sqrt(n), clamped. sqrt balances the two costs a
+    probe pays: scanning ~n/n_cells postings per probed cell vs
+    ranking n_cells centroids to pick probes — equal at sqrt(n)."""
+    return max(min_cells, min(max_cells, int(round(math.sqrt(max(1, n_vectors))))))
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int,
+    sample_n: int = 8192,
+    n_iters: int = 20,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (cosine) coarse quantizer; returns unit-norm
+    centroids of shape ``(n_cells, dim)``.
+
+    Deterministic end-to-end: the sample is the ``sample_n`` smallest
+    ``xxhash64(id)`` values (a seedable uniform pseudo-random sample
+    that any executor layout reproduces), rows are sorted by id before
+    training, init is kmeans++ under a fixed RandomState, and Lloyd
+    runs a fixed iteration budget with deterministic empty-cell
+    reseeding (the point worst-served by its current centroid). Zero
+    vectors are excluded from training (cosine undefined; they assign
+    to cell 0 at index time and never score above 0.0).
+    """
+    sample = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .filter(F.expr("aggregate(vec, 0.0D, (a, v) -> a + abs(cast(v as double)))") > 0.0)
+        .orderBy(F.xxhash64(F.col("vid"), F.lit(seed)), F.col("vid"))
+        .limit(int(sample_n))
+        .toPandas()
+        .sort_values("vid")
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample["vec"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(X)
+    k = min(int(n_cells), n)
+    rng = np.random.RandomState(seed)
+
+    # kmeans++ seeding in cosine distance (1 - cos on unit vectors)
+    centroids = np.empty((k, dim), dtype=np.float64)
+    centroids[0] = X[rng.randint(n)]
+    d2 = np.maximum(0.0, 1.0 - X @ centroids[0])
+    for c in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[c] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.maximum(0.0, 1.0 - X @ centroids[c]))
+
+    assign = np.full(n, -1, dtype=np.int64)
+    for _ in range(int(n_iters)):
+        sims = X @ centroids.T
+        new_assign = sims.argmax(axis=1)
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        for c in range(k):
+            members = X[assign == c]
+            if len(members) == 0:
+                # deterministic reseed: the point its own cell serves worst
+                worst = (sims.max(axis=1)).argmin()
+                centroids[c] = X[worst]
+                continue
+            m = members.sum(axis=0)
+            norm = np.linalg.norm(m)
+            centroids[c] = m / norm if norm > 0 else centroids[c]
+    return centroids
+
+
+def make_cell_probe_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: vector → array<int> of the ``nprobe`` nearest cell
+    ids by cosine against the broadcast centroid matrix (one
+    batch-sized matmul per Arrow batch; ties broken by cell id via
+    stable argsort on (-sim, cell))."""
+    C = np.asarray(centroids, dtype=np.float64).T  # dim × k
+    k = C.shape[1]
+    p = min(int(nprobe), k)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ C
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe_udf
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every vector to its single nearest cell. Returns
+    ``(postings, overflow_cells)`` where postings carry ONLY
+    ``(cell, vid)`` — the vector never rides the shuffle — and
+    overflow_cells holds any cell larger than ``cell_cap`` (those
+    postings are dropped from the index, logged never silent)."""
+    probe = make_cell_probe_udf(centroids, nprobe=1)
+    posting = vectors.select(
+        F.col(id_col).alias("vid"),
+        probe(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    spark = vectors.sparkSession
+    if cell_cap is not None:
+        counts = posting.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+        overflow = counts.filter(F.col("n_vecs") > cell_cap)
+        posting = posting.join(overflow.select("cell"), ["cell"], "left_anti")
+    else:
+        overflow = spark.createDataFrame([], "cell int, n_vecs long")
+    return posting, overflow
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 8,
+    n_cells: int | None = None,
+    n_vectors_hint: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cap: int | None = None,
+    min_cosine: float | None = None,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Approximate top-k neighbors per query via IVF. Returns
+    ``(topk, overflow_cells)`` with columns
+    (query_id, neighbor_id, cosine, rank).
+
+    Pass trained ``centroids`` to reuse an index across query batches;
+    otherwise they are trained here (``n_cells`` defaults to
+    :func:`derive_ivf_cells` of ``n_vectors_hint`` or a corpus count).
+    ``min_cosine`` ranks only neighbors at or above the threshold —
+    the thresholded form a brute-force oracle can reproduce whenever
+    every such neighbor lands in a probed cell (measured, never
+    assumed: tools/ivf_recall.py).
+
+    Characterized miss class (empirical, unlike sign-LSH's analytic
+    one): a true neighbor assigned to a cell the query does not probe.
+    Raising ``nprobe`` monotonically closes it — at
+    ``nprobe == n_cells`` the result is EXACTLY brute force (pytest
+    pins this), so nprobe is a pure recall/cost dial.
+    """
+    if centroids is None:
+        n = int(n_vectors_hint) if n_vectors_hint is not None else corpus.count()
+        cells = int(n_cells) if n_cells is not None else derive_ivf_cells(n)
+        dim = len(
+            corpus.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()[0]
+        )
+        centroids = train_ivf_centroids(
+            corpus, dim, cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    posting, overflow = build_ivf_index(corpus, centroids, id_col, vec_col, cell_cap)
+    probe = make_cell_probe_udf(centroids, nprobe=nprobe)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cands = (
+        probes.join(posting, "cell")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    scored = (
+        cands.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_similarity_col("_qv", "_nv"), round_digits))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= float(min_cosine))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk, overflow
