@@ -59,6 +59,7 @@ def _bench_queries(spark, sf_dir):
         "emb_sim_pairs",
         "emb_ann_pairs",
         "emb_ann_topk",
+        "emb_ivf_topk",
         "text_token_counts",
         "text_fingerprint",
         "s6_faceted_search",

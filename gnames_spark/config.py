@@ -72,6 +72,13 @@ class DedupConfig:
     # verification
     jaccard_threshold: float = 0.8
 
+    # embedding modality (optional: DedupPipeline.run(pages, embeddings=...))
+    # — semantic near-dups whose TEXT differs; no shingle modality can
+    # catch a paraphrase, so this branch feeds the SAME verified-edge
+    # union when an embedding table is supplied
+    emb_threshold: float = 0.9    # cosine >= threshold is a verified near-dup edge
+    emb_bucket_cap: int = 256     # hot sign-LSH bucket cap for the embedding branch
+
     # substring (suffix) pass
     min_substring_len: int = 512  # chars of exact shared substring
     anchor_mod: int = 16          # shingle hash % anchor_mod == 0 → anchor (legacy sampler)
@@ -154,6 +161,8 @@ class DedupConfig:
             raise ValueError("simhash_bits must be 64 (packed into one long column)")
         if self.simhash_bits % (self.hamming_d + 1) != 0:
             raise ValueError("hamming_d+1 must divide simhash_bits for pigeonhole chunks")
+        if not (0.0 < self.emb_threshold <= 1.0):
+            raise ValueError("emb_threshold must be in (0, 1]")
         if self.min_shared_anchors > 2:
             raise ValueError("min_shared_anchors > 2 has no winnowing guarantee derivation")
         guarantee = self.substring_guarantee_chars()

@@ -15,9 +15,12 @@ operators/embeddings.py; this module is the IVF family:
   carries ONLY ``(cell, vid)``; a caller with repeated query batches
   writes it bucketed by ``cell`` once and reuses it (same economics
   as sources/tables.write_bucketed).
-- :func:`ivf_topk` — per query, probe the ``nprobe`` nearest cells,
-  candidate set = union of those cells' postings, exact Catalyst
-  cosine on join-back hydration, rank top-k per query.
+- :func:`ivf_topk` — per query, probe the ``nprobe`` nearest cells;
+  scoring is ONE numpy GEMM task per cell (members ship once, probing
+  queries ship nprobe times; the candidate cross product never hits
+  the shuffle), local top-(k+slack) per cell, then an exact Catalyst
+  cosine recompute on the tiny survivor set (oracle-identical
+  rounding, same policy as blocked_cosine_pairs) and a global rank.
 
 Why this complements sign-LSH rather than duplicating it: LSH buckets
 are data-independent (random hyperplanes — recall at a given cosine is
@@ -224,14 +227,64 @@ def ivf_topk(
     posting, overflow = build_ivf_index(corpus, centroids, id_col, vec_col, cell_cap)
     probe = make_cell_probe_udf(centroids, nprobe=nprobe)
     probes = queries.select(
-        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).alias("vec"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
+    ).withColumn("side", F.lit(1))
+    # Scoring shape: ONE GEMM task per cell, never a per-candidate join.
+    # Each cell group holds its member vectors (shipped once, hydrated by
+    # a posting join) plus the query vectors probing it (shipped nprobe
+    # times) — the candidate cross product lives only inside the numpy
+    # matmul, so ~|cell|·|probes| interpreted-cosine rows never hit the
+    # shuffle. The group emits its LOCAL top-(k+slack) per query; the
+    # global top-k is a window over <= nprobe·(k+slack) rows per query.
+    members = (
+        posting.join(
+            corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+            "vid",
+        )
+        .select(F.col("cell"), F.col("vid").alias("rid"), "vec")
+        .withColumn("side", F.lit(0))
     )
+    margin = float("-inf") if min_cosine is None else float(min_cosine) - 1e-6
+    slack = 8  # survives GEMM-vs-sequential-fold last-ulp drift at the cut
+
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["side"] == 0]
+        qs = pdf[pdf["side"] == 1]
+        if len(mem) == 0 or len(qs) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        ids_m = mem["rid"].to_numpy()
+        ids_q = qs["rid"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in mem["vec"]])
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
+        nm = np.linalg.norm(M, axis=1)
+        nq = np.linalg.norm(Q, axis=1)
+        nm[nm == 0] = np.inf  # zero vectors: cosine defined as 0
+        nq[nq == 0] = np.inf
+        sims = (Q / nq[:, None]) @ (M / nm[:, None]).T  # |Q| x |M|
+        out_q, out_n = [], []
+        take = k + slack
+        for qi in range(len(ids_q)):
+            row = sims[qi]
+            ok = (row >= margin) & (ids_m != ids_q[qi])
+            idx = np.nonzero(ok)[0]
+            if len(idx) == 0:
+                continue
+            # deterministic local order == global tie-break: (-cos, id)
+            order = idx[np.lexsort((ids_m[idx], -row[idx]))][:take]
+            out_q.extend([ids_q[qi]] * len(order))
+            out_n.extend(ids_m[order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
     cands = (
-        probes.join(posting, "cell")
-        .filter(F.col("query_id") != F.col("vid"))
-        .select("query_id", F.col("vid").alias("neighbor_id"))
+        members.unionByName(probes)
+        .groupBy("cell")
+        .applyInPandas(cell_topk, schema="query_id long, neighbor_id long")
     )
+    # exact join-back cosine on the tiny survivor set (Catalyst
+    # sequential fold == the DuckDB oracle's rounding, same policy as
+    # blocked_cosine_pairs) — at most nprobe·(k+slack) rows per query
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     scored = (

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-METHOD_RANK = {"exact": 7, "suffix": 5, "lsh": 3, "simhash": 2}
+METHOD_RANK = {"exact": 7, "suffix": 5, "embedding": 4, "lsh": 3, "simhash": 2}
 
 
 def method_rank_col(method_col: str = "method") -> Column:

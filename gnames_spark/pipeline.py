@@ -44,10 +44,11 @@ from gnames_spark.operators.incremental import (
     merge_components,
     tag_postings,
 )
+from gnames_spark.operators.embeddings import ann_dup_pairs
 from gnames_spark.operators.lsh import candidate_pairs as lsh_bucket_pairs
 from gnames_spark.operators.lsh import capped_buckets
 from gnames_spark.operators.representatives import cluster_summary, select_representatives
-from gnames_spark.operators.scoring import pair_score
+from gnames_spark.operators.scoring import method_rank_col, pair_score
 from gnames_spark.operators.simhash_join import simhash_candidates, simhash_chunks
 from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
 from gnames_spark.operators.verify import verify_pairs
@@ -398,15 +399,27 @@ class DedupPipeline:
 
         return self._stage("components", build)
 
-    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+    def run(
+        self, pages: DataFrame, embeddings: DataFrame | None = None
+    ) -> dict[str, DataFrame]:
+        """End-to-end run. ``embeddings`` (optional): a (doc_id,
+        embedding) table keyed like the docs — when supplied, the
+        embedding-cosine modality contributes verified edges (semantic
+        twins whose text differs) to the same component clustering; when
+        absent, plans are bit-identical to the text-only pipeline."""
         docs = self.prepare_docs(pages)
         sigs = self.signatures(docs)
         cands = self.candidates(docs, sigs)
         ver = self.verified(cands, sigs, docs)
+        out: dict[str, DataFrame] = {}
+        if embeddings is not None:
+            emb = self.embedding_pairs(embeddings)
+            ver = self.merge_verified(ver, emb)
+            out["embedding_pairs"] = emb
         comps = self.components(docs, ver)
         reps = select_representatives(comps)
         summary = cluster_summary(comps)
-        return {
+        out.update({
             "docs": docs,
             "signatures": sigs,
             "candidate_pairs": cands,
@@ -414,7 +427,95 @@ class DedupPipeline:
             "components": comps,
             "representatives": reps,
             "cluster_summary": summary,
-        }
+        })
+        return out
+
+    def embedding_pairs(self, embeddings: DataFrame) -> DataFrame:
+        """The embedding-cosine near-dup modality: banded sign-LSH
+        candidates (size-aware banding — never n²) + exact-cosine verify
+        at ``cfg.emb_threshold`` (operators/embeddings.ann_dup_pairs).
+        Returns verified-shaped edges with ``method='embedding'`` and
+        the cosine carried alongside; hot buckets are capped at
+        ``cfg.emb_bucket_cap`` and logged like every other branch.
+
+        This is the one modality that catches semantic twins whose TEXT
+        differs (paraphrase, near-rewrite) — byte/shingle methods cannot.
+        Incremental analog: sign-LSH postings are (band, bucket) rows,
+        the same shape tag_postings/incremental_posting_pairs already
+        one-side for LSH/SimHash — see run_incremental's docstring."""
+        cfg = self.cfg
+
+        def build():
+            first = (
+                embeddings.select("embedding")
+                .filter(F.col("embedding").isNotNull())
+                .first()
+            )
+            if first is None:
+                return self.spark.createDataFrame(
+                    [],
+                    "doc_a long, doc_b long, method string, jaccard double, "
+                    "passed boolean, cosine double",
+                )
+            dim = len(first[0])
+            n_hint = embeddings.count()
+            pairs, overflow = ann_dup_pairs(
+                embeddings,
+                cfg.emb_threshold,
+                dim=dim,
+                id_col="doc_id",
+                vec_col="embedding",
+                bucket_cap=cfg.emb_bucket_cap,
+                n_vectors_hint=n_hint,
+            )
+            self._record_overflow(
+                "emb_overflow_buckets", overflow.withColumnRenamed("n_vecs", "n_docs")
+            )
+            return pairs.select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                F.lit("embedding").alias("method"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(True).alias("passed"),
+                F.col("cosine"),
+            )
+
+        df = self._stage("embedding_pairs", build)
+        for o in self._overflow_cache:
+            o.unpersist()
+        self._overflow_cache.clear()
+        return df
+
+    def merge_verified(self, ver: DataFrame, emb_pairs: DataFrame) -> DataFrame:
+        """Union text-verified and embedding edges into one pair table.
+        One pair found by several modalities keeps the strongest
+        PASSED method (deterministic: method ranks are distinct and
+        failed rows rank below every passed row), the max jaccard, and
+        the cosine where the embedding branch saw it."""
+
+        def build():
+            base = ver.select(
+                "doc_a", "doc_b", "method", "jaccard", "passed",
+                F.lit(None).cast("double").alias("cosine"),
+            )
+            strength = method_rank_col() + F.when(F.col("passed"), 100).otherwise(0)
+            return (
+                base.unionByName(
+                    emb_pairs.select(
+                        "doc_a", "doc_b", "method", "jaccard", "passed", "cosine"
+                    )
+                )
+                .groupBy("doc_a", "doc_b")
+                .agg(
+                    F.max_by("method", strength).alias("method"),
+                    F.max("jaccard").alias("jaccard"),
+                    F.max("passed").alias("passed"),
+                    F.max("cosine").alias("cosine"),
+                )
+                .withColumn("score", pair_score(hamming_col=None))
+            )
+
+        return self._stage("verified_all", build)
 
     # -- incremental path ---------------------------------------------
     def _incremental_candidates(

@@ -195,3 +195,98 @@ class TestAnchorOverflowRouting:
         res["verified_pairs"].count()
         ov = [m for m in pipe.metrics.stages if m.stage == "anchor_overflow"]
         assert ov and ov[0].extra.get("dropped_docs", 0) > 0
+
+
+class TestEmbeddingModality:
+    """Optional embedding-cosine branch: semantic twins whose TEXT
+    differs cluster together only when embeddings are supplied."""
+
+    def _pages(self, spark):
+        docs = [
+            (1, "the quick brown fox jumps over a lazy dog near the river bank today"),
+            (2, "completely different words describing an unrelated topic about stars"),
+        ] + [
+            (10 + i, f"unique filler document number {i} with nothing shared across pages {i}")
+            for i in range(6)
+        ]
+        return (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .withColumn("url", F.concat(F.lit("u"), F.col("doc_id")))
+            .withColumn("lang", F.lit("en"))
+            .select("url", "doc_id", "text", "lang")
+        )
+
+    def _embeddings(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        base = rng.standard_normal(16)
+        twin = base + rng.standard_normal(16) * 0.01  # cosine ~ 0.9999
+        rows = [(1, [float(x) for x in base]), (2, [float(x) for x in twin])]
+        for i in range(6):
+            rows.append((10 + i, [float(x) for x in rng.standard_normal(16)]))
+        return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    def test_semantic_twins_merge_only_with_embeddings(self, spark):
+        pages = self._pages(spark)
+        cfg = DedupConfig(shuffle_partitions=4)
+        without = DedupPipeline(spark, cfg).run(pages)
+        cw = _components_dict(without)
+        assert cw[1] != cw[2], "text paths must NOT merge different texts"
+
+        res = DedupPipeline(spark, cfg).run(pages, embeddings=self._embeddings(spark))
+        cd = _components_dict(res)
+        assert cd[1] == cd[2], "embedding edge must merge the semantic twins"
+        ver = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in res["verified_pairs"].collect()
+        }
+        row = ver[(1, 2)]
+        assert row["method"] == "embedding" and row["passed"]
+        assert row["cosine"] is not None and row["cosine"] >= cfg.emb_threshold
+        assert row["jaccard"] is None
+
+    def test_plans_unchanged_without_embeddings(self, spark):
+        """embeddings=None keeps the original stage set (no verified_all,
+        no embedding_pairs) — the modality is purely additive."""
+        pages = self._pages(spark)
+        pipe = DedupPipeline(spark, DedupConfig(shuffle_partitions=4))
+        res = pipe.run(pages)
+        assert "embedding_pairs" not in res
+        stage_names = {m.stage for m in pipe.metrics.stages}
+        assert "verified_all" not in stage_names and "embedding_pairs" not in stage_names
+
+    def test_exact_outranks_embedding(self, spark):
+        """A pair that is BOTH byte-identical and embedding-close keeps
+        method='exact' through the merge (deterministic precedence)."""
+        same = "identical page text shared by both documents word for word"
+        docs = [(1, same), (2, same)]
+        pages = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .withColumn("url", F.concat(F.lit("u"), F.col("doc_id")))
+            .withColumn("lang", F.lit("en"))
+            .select("url", "doc_id", "text", "lang")
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [1.0] * 8)], "doc_id long, embedding array<double>"
+        )
+        res = DedupPipeline(spark, DedupConfig(shuffle_partitions=4)).run(
+            pages, embeddings=emb
+        )
+        ver = {(r["doc_a"], r["doc_b"]): r["method"] for r in res["verified_pairs"].collect()}
+        assert ver[(1, 2)] == "exact"
+
+    def test_hot_bucket_cap_logged(self, spark):
+        """A dense embedding region overflows emb_bucket_cap; the drop is
+        metered, never silent."""
+        pages = self._pages(spark)
+        rows = [(d, [1.0, 0.5, 0.25, 0.125]) for d in [1, 2] + [10 + i for i in range(6)]]
+        emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+        cfg = DedupConfig(shuffle_partitions=4, emb_bucket_cap=2)
+        pipe = DedupPipeline(spark, cfg)
+        res = pipe.run(pages, embeddings=emb)
+        res["verified_pairs"].count()
+        ov = [m for m in pipe.metrics.stages if m.stage == "emb_overflow_buckets"]
+        assert ov and ov[0].extra.get("dropped_docs", 0) > 0
+        # capped → the identical-embedding pairs are NOT merged
+        assert res["embedding_pairs"].count() == 0
