@@ -84,6 +84,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--limit", type=int, default=None,
                    help="optional row cap for smoke runs")
+    p.add_argument("--embeddings", default=None,
+                   help="parquet path of a (doc_id, embedding) table — "
+                        "enables the embedding-cosine modality (batch: "
+                        "the corpus table; incremental: the INCREMENT's "
+                        "table)")
+    p.add_argument("--base-embeddings", default=None,
+                   help="incremental only: the standing corpus's "
+                        "embedding table (caller-managed — the promote "
+                        "machinery maintains docs/signatures/components, "
+                        "not embedding tables)")
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--no-substring", action="store_true")
     p.add_argument("--route-overflow-to-lcs", action="store_true")
@@ -211,7 +221,19 @@ def main(argv: list[str] | None = None) -> int:
                 s: pipe.io.read(spark, s)
                 for s in ("docs", "signatures", "components")
             }
-            res = pipe.run_incremental(pages, base, batch_id=batch_id)
+            res = pipe.run_incremental(
+                pages,
+                base,
+                batch_id=batch_id,
+                new_embeddings=(
+                    spark.read.parquet(args.embeddings) if args.embeddings else None
+                ),
+                base_embeddings=(
+                    spark.read.parquet(args.base_embeddings)
+                    if args.base_embeddings
+                    else None
+                ),
+            )
             # promote: the merged tables become the standing corpus the
             # NEXT batch folds into. Each stage is individually
             # idempotent so a crash between stage writes is safe on
@@ -258,7 +280,12 @@ def main(argv: list[str] | None = None) -> int:
                 "verified_pairs": None,
             }
     else:
-        res = pipe.run(pages)
+        res = pipe.run(
+            pages,
+            embeddings=(
+                spark.read.parquet(args.embeddings) if args.embeddings else None
+            ),
+        )
 
     out = args.output.rstrip("/")
     for name in ("components", "representatives", "cluster_summary",

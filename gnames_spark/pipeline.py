@@ -44,7 +44,12 @@ from gnames_spark.operators.incremental import (
     merge_components,
     tag_postings,
 )
-from gnames_spark.operators.embeddings import ann_dup_pairs
+from gnames_spark.operators.embeddings import (
+    ann_dup_pairs,
+    cosine_similarity_col,
+    derive_sign_banding,
+    make_banded_hyperplane_udf,
+)
 from gnames_spark.operators.lsh import candidate_pairs as lsh_bucket_pairs
 from gnames_spark.operators.lsh import capped_buckets
 from gnames_spark.operators.representatives import cluster_summary, select_representatives
@@ -486,6 +491,88 @@ class DedupPipeline:
         self._overflow_cache.clear()
         return df
 
+    def _incremental_embedding_pairs(
+        self, base_emb: DataFrame | None, new_emb: DataFrame
+    ) -> DataFrame:
+        """One-sided embedding candidate generation for an increment:
+        sign-LSH postings over base+new (banding derived from the
+        COMBINED size — exactly what a fresh run over old ∪ new would
+        derive, so the identity-with-fresh-run property the rest of the
+        incremental suite proves extends to this branch), caps see true
+        combined bucket sizes, the pair join probes only increment
+        postings (old-vs-old pairs never generate — their edges live in
+        the base verified set), exact-cosine verify hydrates only pair
+        participants.
+
+        Unlike the text path (whose band columns are STORED in the
+        signatures table), base postings recompute here each increment —
+        a map-only hyperplane matmul over the base embeddings, no base
+        shuffle; to store them instead, pin the banding in config and
+        persist the posting table (the optimization is a caching choice,
+        not a semantic one)."""
+        cfg = self.cfg
+
+        def build():
+            empty = (
+                "doc_a long, doc_b long, method string, jaccard double, "
+                "passed boolean, cosine double"
+            )
+            first = (
+                new_emb.select("embedding").filter(F.col("embedding").isNotNull()).first()
+            )
+            if first is None:
+                return self.spark.createDataFrame([], empty)
+            dim = len(first[0])
+            n_total = new_emb.count() + (base_emb.count() if base_emb is not None else 0)
+            bits, bands = derive_sign_banding(cfg.emb_threshold, n_total)
+            sig = make_banded_hyperplane_udf(dim, bands, bits, seed=42)
+
+            def postings(df):
+                return df.select(
+                    "doc_id", F.posexplode(sig(F.col("embedding"))).alias("band", "bucket")
+                )
+
+            base_p = (
+                postings(base_emb)
+                if base_emb is not None
+                else self.spark.createDataFrame([], "doc_id long, band int, bucket long")
+            )
+            all_p = tag_postings(base_p, postings(new_emb))
+            counts = all_p.groupBy("band", "bucket").agg(F.count("*").alias("n_docs"))
+            ov = counts.filter(F.col("n_docs") > cfg.emb_bucket_cap)
+            self._record_overflow("emb_overflow_buckets", ov)
+            kept = all_p.join(
+                ov.select("band", "bucket"), ["band", "bucket"], "left_anti"
+            ).repartition(cfg.shuffle_partitions, "band", "bucket")
+            pairs = incremental_posting_pairs(
+                kept.filter("_new"), kept, ["band", "bucket"]
+            ).dropDuplicates(["doc_a", "doc_b"])
+            allv = (
+                base_emb.unionByName(new_emb) if base_emb is not None else new_emb
+            )
+            va = allv.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("_va"))
+            vb = allv.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("_vb"))
+            return (
+                pairs.join(va, "doc_a")
+                .join(vb, "doc_b")
+                .withColumn("cosine", F.round(cosine_similarity_col("_va", "_vb"), 6))
+                .filter(F.col("cosine") >= cfg.emb_threshold)
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.lit("embedding").alias("method"),
+                    F.lit(None).cast("double").alias("jaccard"),
+                    F.lit(True).alias("passed"),
+                    "cosine",
+                )
+            )
+
+        df = self._stage("embedding_pairs", build)
+        for o in self._overflow_cache:
+            o.unpersist()
+        self._overflow_cache.clear()
+        return df
+
     def merge_verified(self, ver: DataFrame, emb_pairs: DataFrame) -> DataFrame:
         """Union text-verified and embedding edges into one pair table.
         One pair found by several modalities keeps the strongest
@@ -620,6 +707,8 @@ class DedupPipeline:
         new_pages: DataFrame,
         base: dict[str, DataFrame],
         batch_id: str | None = None,
+        new_embeddings: DataFrame | None = None,
+        base_embeddings: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         """Fold a NEW batch of pages into an already-deduplicated corpus
         — O(|increment| x touched-postings), never old-vs-old.
@@ -652,6 +741,13 @@ class DedupPipeline:
         pairs whose bucket overflows only in the combined corpus keep
         their base-run edges (a fresh run would have dropped them —
         incremental is recall->=-full-run under caps, never below).
+
+        ``new_embeddings``/``base_embeddings``: the embedding modality's
+        one-sided analog (:meth:`_incremental_embedding_pairs`) — when
+        the base ran with embeddings, pass both and the fold-in result
+        equals a fresh :meth:`run` over old ∪ new with the combined
+        embedding table (same derived banding, same caps-see-combined
+        semantics; pytest-pinned in tests/test_incremental.py).
 
         ``batch_id`` namespaces this increment's checkpoint stages
         (``inc_<batch_id>_*``). REQUIRED for repeated increments against
@@ -709,6 +805,11 @@ class DedupPipeline:
             common = [c for c in base_docs.columns if c in new_docs.columns]
             docs_all = base_docs.select(common).unionByName(new_docs.select(common))
             ver = self.verified(cands, sigs_all, docs_all)
+            if new_embeddings is not None:
+                emb_edges = self._incremental_embedding_pairs(
+                    base_embeddings, new_embeddings
+                )
+                ver = self.merge_verified(ver, emb_edges)
 
             # merge runs OUTSIDE the stage builder so the merge map is
             # in hand for summary maintenance; the CC it runs is over

@@ -551,3 +551,66 @@ class TestMergeComponents:
         old_nodes = [0, 1, 10, 11]
         got = self._run(spark, [(0, 1), (10, 11)], old_nodes, [(100, 1), (100, 11)], [100])
         assert got == {0: 0, 1: 0, 10: 0, 11: 0, 100: 0}
+
+
+class TestIncrementalEmbeddings:
+    """The embedding modality's one-sided fold-in equals a fresh run
+    over old ∪ new with the combined embedding table."""
+
+    def _emb_for(self, spark, pages, twin_pairs=3, seed=31):
+        """Random embeddings per doc, plus `twin_pairs` planted
+        near-identical pairs chosen to straddle the base/increment url
+        split (pmod 4 == 0)."""
+        ids = [r[0] for r in pages.select(F.xxhash64("url").alias("i")).collect()]
+        inc = {i for i in ids if i % 4 == 0}
+        base = [i for i in ids if i not in inc]
+        inc = sorted(inc)
+        rng = np.random.RandomState(seed)
+        vec = {i: rng.standard_normal(12) for i in ids}
+        for j in range(twin_pairs):
+            a, b = base[j], inc[j]
+            vec[b] = vec[a] + rng.standard_normal(12) * 0.01
+        rows = [(int(i), [float(x) for x in v]) for i, v in vec.items()]
+        df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+        twins = [(min(base[j], inc[j]), max(base[j], inc[j])) for j in range(twin_pairs)]
+        return df, twins
+
+    def test_fold_in_equals_fresh_run_with_embeddings(self, spark, split_pages):
+        pages, base_pages, inc_pages = split_pages
+        emb_all, twins = self._emb_for(spark, pages)
+        base_ids = base_pages.select(F.xxhash64("url").alias("doc_id"))
+        emb_base = emb_all.join(base_ids, "doc_id", "left_semi")
+        emb_new = emb_all.join(base_ids, "doc_id", "left_anti")
+
+        fresh = DedupPipeline(spark, CFG).run(pages, embeddings=emb_all)
+        base = DedupPipeline(spark, CFG).run(base_pages, embeddings=emb_base)
+        inc = DedupPipeline(spark, CFG).run_incremental(
+            inc_pages, base, new_embeddings=emb_new, base_embeddings=emb_base
+        )
+        assert _assign(inc["components"]) == _assign(fresh["components"])
+        # the planted cross-split twins actually merged via the fold-in
+        comp = dict(_assign(inc["components"]))
+        for a, b in twins:
+            assert comp[a] == comp[b], (a, b)
+        # and the edge is embedding-method (text differs)
+        ver = {
+            (r["doc_a"], r["doc_b"]): r["method"]
+            for r in inc["verified_pairs"].filter("passed").collect()
+        }
+        assert any(ver.get(t) == "embedding" for t in twins)
+
+    def test_first_embeddings_on_increment_only(self, spark, split_pages):
+        """base_embeddings=None: new-vs-new embedding pairs still form
+        (the branch degrades to the batch form over the increment)."""
+        _, base_pages, inc_pages = split_pages
+        rng = np.random.RandomState(7)
+        ids = [r[0] for r in inc_pages.select(F.xxhash64("url").alias("i")).collect()]
+        rows = [(int(i), [float(x) for x in rng.standard_normal(12)]) for i in ids]
+        rows[1] = (rows[1][0], [v + 0.001 for v in rows[0][1]])
+        emb_new = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+        base = DedupPipeline(spark, CFG).run(base_pages)
+        inc = DedupPipeline(spark, CFG).run_incremental(
+            inc_pages, base, new_embeddings=emb_new
+        )
+        comp = dict(_assign(inc["components"]))
+        assert comp[rows[0][0]] == comp[rows[1][0]]

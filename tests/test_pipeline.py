@@ -290,3 +290,23 @@ class TestEmbeddingModality:
         assert ov and ov[0].extra.get("dropped_docs", 0) > 0
         # capped → the identical-embedding pairs are NOT merged
         assert res["embedding_pairs"].count() == 0
+
+    def test_cli_batch_with_embeddings(self, spark, tmp_path):
+        """--embeddings drives the modality through the spark-submit
+        surface: the semantic twins land in one component in the
+        written output."""
+        from gnames_spark.cli import main
+
+        pages = self._pages(spark)
+        inp = str(tmp_path / "pages.parquet")
+        pages.write.parquet(inp)
+        embp = str(tmp_path / "emb.parquet")
+        self._embeddings(spark).write.parquet(embp)
+        out = str(tmp_path / "out")
+        assert main(["--input", inp, "--output", out,
+                     "--embeddings", embp, "--shuffle-partitions", "4"]) == 0
+        comp = {
+            r["doc_id"]: r["component_id"]
+            for r in spark.read.parquet(f"{out}/components").collect()
+        }
+        assert comp[1] == comp[2]
