@@ -263,6 +263,29 @@ def q_dedup_components(spark, sf_dir):
     return all_components(_docs(spark, sf_dir), assign)
 
 
+def q_dedup_embedding_components(spark, sf_dir):
+    """Pipeline-level embedding modality under the FULL oracle: text
+    near-dup edges (exact Jaccard >= TAU) UNION embedding cosine edges
+    (>= 0.4 via the banded sign-LSH operator, whose pair set equals
+    brute force on this table — the equality emb_ann_pairs itself
+    asserts under its oracle), clustered with the same
+    large-star/small-star CC the pipeline runs. This is the
+    ``run(pages, embeddings=...)`` semantics (merge_verified →
+    components) as a driver-checkable composition; the pipeline-object
+    path is pytest-pinned (TestEmbeddingModality /
+    TestIncrementalEmbeddings, fold-in == fresh-run identity). Oracle:
+    recursive-CTE reachability over the union of both edge sets."""
+    sets = _doc_shingle_sets(spark, sf_dir).persist()
+    text_edges = exact_jaccard_pairs(sets, TAU, set_col="shingle_set").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    emb = _emb(spark, sf_dir)
+    pairs, _ = ann_dup_pairs(emb, 0.4, dim=64)
+    emb_edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    assign = connected_components(text_edges.unionByName(emb_edges))
+    return all_components(_docs(spark, sf_dir), assign)
+
+
 def q_dedup_representatives(spark, sf_dir):
     """M4 cluster representatives + sizes (W2/W4 analog)."""
     comps = q_dedup_components(spark, sf_dir)
@@ -1117,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_incremental_components": q_dedup_incremental_components,
+        "dedup_embedding_components": q_dedup_embedding_components,
         "dedup_incremental_summary": q_dedup_incremental_summary,
         "dedup_representatives": q_dedup_representatives,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1193,6 +1217,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _DK_JACCARD_PAIRS,
         "dedup_components": _DK_COMPONENTS,
+        # text-jaccard edges UNION brute-force cosine edges, same
+        # recursive reachability — the multimodal clustering semantics
+        "dedup_embedding_components": f"""
+            WITH RECURSIVE tpairs AS ({_DK_JACCARD_PAIRS}),
+            epairs AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(
+                        a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+            ),
+            upairs AS (
+              SELECT doc_a, doc_b FROM tpairs
+              UNION SELECT doc_a, doc_b FROM epairs
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM upairs
+              UNION SELECT doc_b, doc_a FROM upairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT d.doc_id,
+                   coalesce(least(min(r.v), d.doc_id), d.doc_id) AS component_id
+            FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+            GROUP BY d.doc_id
+        """,
         # the incremental fold-in must reproduce the from-scratch
         # full-corpus assignment — same oracle as dedup_components
         "dedup_incremental_components": _DK_COMPONENTS,
