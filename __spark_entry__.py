@@ -48,7 +48,11 @@ from gnames_spark.operators.incremental import (
 from gnames_spark.operators.lsh import lsh_candidates
 from gnames_spark.operators.simhash_join import simhash_candidates
 from gnames_spark.operators.suffix import anchor_pairs_from_anchors, substring_verify
-from gnames_spark.operators.verify import exact_jaccard_pairs, verify_pairs
+from gnames_spark.operators.verify import (
+    containment_pairs,
+    exact_jaccard_pairs,
+    verify_pairs,
+)
 
 CFG = DedupConfig(shuffle_partitions=16)
 K = 3            # word-shingle size for the documents corpus (short docs)
@@ -261,6 +265,48 @@ def q_dedup_components(spark, sf_dir):
     )
     assign = connected_components(edges)
     return all_components(_docs(spark, sf_dir), assign)
+
+
+def q_dedup_containment_pairs(spark, sf_dir):
+    """Containment dedup — |A∩B| / min(|A|,|B|) >= 0.9: the
+    quote-inclusion dup class that Jaccard structurally under-scores
+    (a short page quoted whole inside a long one has J <= |A|/|B|, and
+    the verify stage's size-ratio prefilter prunes exactly that shape
+    BY DESIGN — containment is the complementary detector). Posting-
+    list algorithm, no arrays shuffled (operators/verify.py:
+    containment_pairs); the containment-only case (low-J inclusion) is
+    pytest-planted — this synthetic corpus's near-dups are full-doc
+    edits, so here the >=0.9-containment set coincides with the
+    Jaccard set, which the oracle checks exactly."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    return containment_pairs(sets, 0.9).withColumn(
+        "containment", F.round("containment", 6)
+    )
+
+
+def q_dedup_source_dup_rate(spark, sf_dir):
+    """Per-source near-dup participation — the curation metric a
+    training-data pipeline ranks domains by: share of a source's docs
+    appearing in >= 1 exact-Jaccard near-dup pair (reference analog:
+    per-data-source match statistics, the DataSources facet)."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    pairs = exact_jaccard_pairs(sets, TAU, set_col="shingle_set")
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_docs"),
+        )
+        .withColumn("dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6))
+    )
 
 
 def q_dedup_embedding_components(spark, sf_dir):
@@ -1141,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_incremental_components": q_dedup_incremental_components,
         "dedup_embedding_components": q_dedup_embedding_components,
+        "dedup_containment_pairs": q_dedup_containment_pairs,
+        "dedup_source_dup_rate": q_dedup_source_dup_rate,
         "dedup_incremental_summary": q_dedup_incremental_summary,
         "dedup_representatives": q_dedup_representatives,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1259,6 +1307,30 @@ def oracle_sql() -> dict[str, str]:
             WITH comps AS ({_DK_COMPONENTS})
             SELECT component_id, count(*) AS n_docs, min(doc_id) AS rep_doc
             FROM comps GROUP BY 1
+        """,
+        "dedup_containment_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, {_DK_SHINGLES} AS s FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / least(len(a.s), len(b.s)), 6) AS containment
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / least(len(a.s), len(b.s)) >= 0.9
+        """,
+        "dedup_source_dup_rate": f"""
+            WITH pairs AS ({_DK_JACCARD_PAIRS}),
+            d AS (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION SELECT doc_b FROM pairs
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   count(d.doc_id)::BIGINT AS n_dup_docs,
+                   round(count(d.doc_id)::DOUBLE / count(*), 6) AS dup_rate
+            FROM documents LEFT JOIN d USING (doc_id)
+            GROUP BY source
         """,
         "dedup_simhash_pairs": _dk_simhash_pairs_sql(),
         "dedup_substring_pairs": _DK_SUBSTRING_PAIRS,

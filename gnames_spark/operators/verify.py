@@ -124,3 +124,51 @@ def exact_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    shingle_sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    set_col: str = "shingle_set",
+    min_shared: int = 1,
+) -> DataFrame:
+    """EXACT all-pairs shingle CONTAINMENT >= threshold:
+    |A ∩ B| / min(|A|, |B|) — "the smaller document is this contained
+    in the larger". The dup class Jaccard structurally misses: a short
+    page quoted whole inside a long one has J <= |A|/|B| no matter how
+    perfect the inclusion (the verify stage's size-ratio prefilter
+    PRUNES exactly those pairs, by design — containment is the
+    complementary detector for them; reference analog: PartialExact
+    match type, /root/reference/pkg/ent/verifier/verifier.go match
+    kinds, which the suffix pass covers only for CONTIGUOUS overlap —
+    containment also catches scattered inclusion, e.g. a quote split
+    by interjections).
+
+    Same posting-list shape as :func:`exact_jaccard_pairs` (no arrays
+    shuffled, no cross join); at crawl scale run it on LSH/anchor
+    candidates rather than all pairs, exactly like the Jaccard verify.
+    """
+    sized = shingle_sets.select(id_col, F.size(set_col).alias("_n"), set_col)
+    posting = sized.select(
+        F.col(id_col), F.col("_n"), F.explode(set_col).alias("shingle")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, "shingle", "inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .filter(F.col("n_inter") >= min_shared)
+    )
+    cont = F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double")
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -26,7 +26,11 @@ from gnames_spark.operators.suffix import (
     lcs_length,
     substring_verify,
 )
-from gnames_spark.operators.verify import exact_jaccard_pairs, verify_pairs
+from gnames_spark.operators.verify import (
+    containment_pairs,
+    exact_jaccard_pairs,
+    verify_pairs,
+)
 
 CFG = DedupConfig(shuffle_partitions=8, bucket_cap=300)
 N_DOCS = 400
@@ -60,6 +64,23 @@ def brute_pairs(docs):
             if j >= 0.5:
                 key = (min(ia, ib), max(ia, ib))
                 out[key] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def brute_pairs_containment(docs):
+    """Brute-force all-pairs containment oracle (min-denominator)."""
+    rows = docs.select("doc_id", "shingle_set").collect()
+    sets = {r["doc_id"]: frozenset(r["shingle_set"]) for r in rows}
+    out = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sets.items(), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            c = inter / min(len(sa), len(sb))
+            if c >= 0.5:
+                out[(min(ia, ib), max(ia, ib))] = c
     return out
 
 
@@ -167,6 +188,42 @@ class TestExactJaccardJoin:
             for r in exact_jaccard_pairs(docs, 0.5, set_col="shingle_set").collect()
         }
         truth = {k: j for k, j in brute_pairs.items() if j >= 0.5}
+        assert set(got) == set(truth)
+        for k in truth:
+            assert abs(got[k] - truth[k]) < 1e-12
+
+
+class TestContainment:
+    def test_inclusion_found_by_containment_missed_by_jaccard(self, spark):
+        """The quote-inclusion dup class: a short doc fully contained in
+        a 10x-longer one has containment 1.0 but Jaccard ~ |A|/|B| —
+        below any dup threshold. containment_pairs finds it; the
+        Jaccard detector (correctly, per its semantics) does not."""
+        small = [f"s{i}" for i in range(20)]
+        big = small + [f"b{i}" for i in range(200)]
+        rows = [
+            (1, small),
+            (2, big),
+            (3, [f"x{i}" for i in range(50)]),  # unrelated
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, shingle_set array<string>")
+        cont = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, 0.9, set_col="shingle_set").collect()
+        }
+        assert cont == {(1, 2): 1.0}
+        jac = {
+            (r["doc_a"], r["doc_b"])
+            for r in exact_jaccard_pairs(docs, 0.8, set_col="shingle_set").collect()
+        }
+        assert (1, 2) not in jac
+
+    def test_matches_brute_force(self, spark, docs, brute_pairs_containment):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, 0.5, set_col="shingle_set").collect()
+        }
+        truth = {k: c for k, c in brute_pairs_containment.items() if c >= 0.5}
         assert set(got) == set(truth)
         for k in truth:
             assert abs(got[k] - truth[k]) < 1e-12
