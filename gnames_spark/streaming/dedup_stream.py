@@ -22,6 +22,13 @@ sense there:
   GroupState holding only recent fingerprints, capped and
   timeout-evicted, so state stays bounded on an infinite crawl.
 
+- ``streaming_embedding_screen``: the embedding modality as a stream —
+  banded sign-LSH postings bucket arriving vectors; per-(band, bucket)
+  GroupState holds recent normalized vectors (capped + TTL-evicted),
+  an arriving vector is flagged against state members at cosine >=
+  the threshold. Same analytic catch probability as ann_dup_pairs
+  while both vectors live in state.
+
 Full near-dup LSH as a pure stream is intentionally NOT offered:
 candidate self-joins over an unbounded corpus need the persisted
 signatures/buckets tables (stream-static join against the checkpointed
@@ -170,6 +177,119 @@ def streaming_simhash_screen(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return chunks.groupBy("chunk_id", "chunk_val").applyInPandasWithState(
+        screen,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+def streaming_embedding_screen(
+    vectors: DataFrame,
+    dim: int,
+    min_cosine: float = 0.9,
+    seed: int = 42,
+    n_bands: int | None = None,
+    band_bits: int = 8,
+    state_cap_per_bucket: int = 256,
+    state_ttl_minutes: int | None = 60,
+    round_digits: int = 6,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming EMBEDDING near-dup screen: (doc_id, dup_of, cosine)
+    rows for arriving vectors whose cosine with a recently seen vector
+    is >= ``min_cosine`` — the streaming form of the embedding modality
+    (pipeline.embedding_pairs), built exactly like
+    :func:`streaming_simhash_screen`.
+
+    Banded sign-LSH postings give the bucketing: band count derives
+    from the threshold (``optimal_sign_bands`` — catch probability
+    >= 0.99 at cosine == min_cosine while both vectors live in state),
+    each (band, bucket) key's GroupState holds recent NORMALIZED
+    vectors (cosine = one dot product), capped oldest-first at
+    ``state_cap_per_bucket`` (dense-region buckets stop growing — the
+    streaming form of emb_bucket_cap) and TTL-evicted, so state is
+    bounded on an unbounded crawl: <= buckets × cap × dim doubles.
+    A pair sharing several bands is emitted once per band — callers
+    needing set semantics dropDuplicates (doc_id, dup_of) downstream.
+    """
+    from gnames_spark.operators.embeddings import (
+        make_banded_hyperplane_udf,
+        optimal_sign_bands,
+    )
+
+    if n_bands is None:
+        n_bands = optimal_sign_bands(min_cosine, band_bits)
+    sig = make_banded_hyperplane_udf(dim, n_bands, band_bits, seed)
+    posting = vectors.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast(T.ArrayType(T.DoubleType())).alias("vec"),
+        F.posexplode(sig(F.col(vec_col))).alias("band", "bucket"),
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("doc_ids", T.ArrayType(T.LongType())),
+            T.StructField("vecs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60 * 1000
+    thr = float(min_cosine)
+    digits = int(round_digits)
+
+    def screen(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, vecs = state.get
+            ids = list(ids)
+            vecs = [np.asarray(v, dtype=np.float64) for v in vecs]
+        else:
+            ids, vecs = [], []
+        out_doc, out_dup, out_cos = [], [], []
+        for pdf in pdfs:
+            # deterministic within-batch order (same policy as the
+            # simhash screen): (new, new) matches report against the
+            # smaller doc_id regardless of shuffle order
+            pdf = pdf.sort_values("doc_id").drop_duplicates("doc_id")
+            for did, v in zip(pdf["doc_id"], pdf["vec"]):
+                did = int(did)
+                v = np.asarray(v, dtype=np.float64)
+                norm = np.linalg.norm(v)
+                nv = v / norm if norm > 0 else v  # zero vector: cos 0 with all
+                if vecs:
+                    sims = np.stack(vecs) @ nv
+                    for j in np.flatnonzero(np.round(sims, digits) >= thr):
+                        if ids[j] != did:
+                            out_doc.append(did)
+                            out_dup.append(ids[j])
+                            out_cos.append(float(np.round(sims[j], digits)))
+                ids.append(did)
+                vecs.append(nv)
+        if len(ids) > state_cap_per_bucket:  # oldest-first eviction
+            ids = ids[-state_cap_per_bucket:]
+            vecs = vecs[-state_cap_per_bucket:]
+        state.update((ids, [list(map(float, v)) for v in vecs]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup, "cosine": out_cos})
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return posting.groupBy("band", "bucket").applyInPandasWithState(
         screen,
         outputStructType=out_type,
         stateStructType=state_type,

