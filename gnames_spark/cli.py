@@ -84,6 +84,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--limit", type=int, default=None,
                    help="optional row cap for smoke runs")
+    p.add_argument("--remove", action="store_true",
+                   help="treat --input as a table with a doc_id column "
+                        "and DELETE those docs from the standing corpus "
+                        "in --checkpoint-dir: affected components "
+                        "re-cluster over surviving verified edges, "
+                        "orphaned signatures transfer to the min "
+                        "surviving byte-identical copy. Idempotent — "
+                        "re-run the same removal to heal a crash "
+                        "mid-write. Upsert = --remove of the old ids + "
+                        "--incremental of the new batch")
     p.add_argument("--embeddings", default=None,
                    help="parquet path of a (doc_id, embedding) table — "
                         "enables the embedding-cosine modality (batch: "
@@ -142,10 +152,12 @@ def main(argv: list[str] | None = None) -> int:
         inherit_master=True,
     )
 
-    pages = read_pages(spark, args.input, fmt=args.input_format)
-    if args.limit:
+    pages = None
+    if not args.remove:
+        pages = read_pages(spark, args.input, fmt=args.input_format)
+    if args.limit and pages is not None:
         pages = pages.limit(args.limit)
-    if "url" not in pages.columns:
+    if pages is not None and "url" not in pages.columns:
         # documents-table shape (doc_id, text, ...): synthesize the url
         # the same way bench.py does so prepare_docs sees its contract
         pages = pages.withColumn(
@@ -162,7 +174,89 @@ def main(argv: list[str] | None = None) -> int:
         cc_checkpoint_rounds=args.cc_checkpoint_rounds,
         route_overflow_to_lcs=args.route_overflow_to_lcs,
     )
-    if args.incremental:
+    if args.remove:
+        from gnames_spark.operators.incremental import (
+            remove_docs,
+            transfer_orphaned_signatures,
+        )
+        from gnames_spark.operators.representatives import (
+            cluster_summary,
+            select_representatives,
+        )
+
+        if pipe.io is None:
+            print("--remove requires --checkpoint-dir (the standing corpus "
+                  "lives there)", file=sys.stderr)
+            return 2
+        for stage in ("docs", "signatures", "components", "verified_pairs"):
+            if not pipe.io.is_complete(stage):
+                print(f"--remove: standing stage '{stage}' is missing or was "
+                      f"built under a different config hash in "
+                      f"{args.checkpoint_dir}", file=sys.stderr)
+                return 2
+        # crash-signature guard: a crashed INCREMENT promote leaves
+        # docs > components manifest rows (append landed, merge didn't)
+        # — removing on that state would compound the incoherence, so
+        # refuse and ask for the batch re-run. A crashed REMOVAL leaves
+        # docs < components (docs rewrite landed, components didn't) —
+        # re-running the SAME removal heals it, so that direction is
+        # allowed through. The two signatures are disjoint.
+        n_docs_m = pipe.io.manifest_rows("docs")
+        n_comp_m = pipe.io.manifest_rows("components")
+        if n_docs_m > n_comp_m:
+            print(f"--remove: standing corpus is mid-promote (docs manifest "
+                  f"rows={n_docs_m} > components rows={n_comp_m}); re-run "
+                  f"the crashed incremental batch before removing",
+                  file=sys.stderr)
+            return 2
+        rm = spark.read.parquet(args.input).select("doc_id").distinct()
+        docs = pipe.io.read(spark, "docs")
+        sigs = pipe.io.read(spark, "signatures")
+        comps = pipe.io.read(spark, "components")
+        ver = pipe.io.read(spark, "verified_pairs")
+        edges = ver.filter("passed").select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        new_assign = remove_docs(
+            comps, edges, rm,
+            max_iterations=cfg.max_cc_iterations,
+            salt_buckets=cfg.cc_salt_buckets,
+        )
+        new_docs = docs.join(F.broadcast(rm), "doc_id", "left_anti")
+        new_sigs = transfer_orphaned_signatures(docs, sigs, rm)
+        ra = rm.select(F.col("doc_id").alias("doc_a"))
+        rb = rm.select(F.col("doc_id").alias("doc_b"))
+        new_ver = (
+            ver.join(F.broadcast(ra), "doc_a", "left_anti")
+            .join(F.broadcast(rb), "doc_b", "left_anti")
+        )
+        # materialize every derived table BEFORE the first write: they
+        # all read the standing stage files lazily, and each write swaps
+        # those files out (tmp dir + rename) — without the eager cut the
+        # second write would read through the first one's deleted files
+        new_docs = new_docs.localCheckpoint(eager=True)
+        new_sigs = new_sigs.localCheckpoint(eager=True)
+        new_ver = new_ver.localCheckpoint(eager=True)
+        new_assign = new_assign.localCheckpoint(eager=True)
+        # write order makes every crash window heal by re-running the
+        # SAME removal: signatures/verified first (re-running their
+        # transforms on already-rewritten tables is a no-op — no sig row
+        # keyed by a removed id remains to transfer, no edge touching a
+        # removed id remains to filter), docs next, components LAST so a
+        # crash in between shows the docs<components manifest signature
+        # the guard above lets through for a healing re-run
+        pipe.io.write(new_sigs, "signatures")
+        pipe.io.write(new_ver, "verified_pairs")
+        pipe.io.write(new_docs, "docs")
+        pipe.io.write(new_assign, "components")
+        final_comps = pipe.io.read(spark, "components")
+        res = {
+            "components": final_comps,
+            "representatives": select_representatives(final_comps),
+            "cluster_summary": cluster_summary(final_comps),
+            "verified_pairs": pipe.io.read(spark, "verified_pairs"),
+        }
+    elif args.incremental:
         import hashlib
         import os
 
@@ -261,6 +355,35 @@ def main(argv: list[str] | None = None) -> int:
                         stage,
                     )
                 res[stage] = pipe.io.read(spark, stage)
+            # verified_pairs: the standing edge set must stay CUMULATIVE
+            # (a later --remove re-clusters affected components over it;
+            # stale base-only edges would silently split merged
+            # clusters). Every inc pair touches >= 1 increment doc
+            # (one-sided generation), so present == any standing pair
+            # touching this batch's docs — the same append-if-absent
+            # idempotence as docs/signatures.
+            inc_ids = pipe.io.read(spark, inc_ns + "docs").select("doc_id")
+            cur_ver = pipe.io.read(spark, "verified_pairs")
+            n_present = (
+                cur_ver.join(
+                    F.broadcast(inc_ids.withColumnRenamed("doc_id", "doc_a")),
+                    "doc_a", "left_semi",
+                ).count()
+                + cur_ver.join(
+                    F.broadcast(inc_ids.withColumnRenamed("doc_id", "doc_b")),
+                    "doc_b", "left_semi",
+                ).count()
+            )
+            if n_present == 0:
+                common = [
+                    c for c in cur_ver.columns if c in res["verified_pairs"].columns
+                ]
+                pipe.io.write(
+                    cur_ver.select(common).unionByName(
+                        res["verified_pairs"].select(common)
+                    ),
+                    "verified_pairs",
+                )
             pipe.io.write(res["components"], "components")
             res["components"] = pipe.io.read(spark, "components")
             with open(marker + ".tmp", "w") as f:

@@ -614,3 +614,57 @@ class TestIncrementalEmbeddings:
         )
         comp = dict(_assign(inc["components"]))
         assert comp[rows[0][0]] == comp[rows[1][0]]
+
+
+class TestRemovalCLI:
+    def test_base_increment_remove_matches_fresh_run(self, spark, tmp_path):
+        """The spark-submit surface for the full corpus lifecycle:
+        base run -> incremental promote (which now keeps the standing
+        verified_pairs CUMULATIVE) -> --remove of a slice. The standing
+        assignment must equal a fresh run over (all - removed): removal
+        re-clusters ONLY affected components, over the cumulative edge
+        set."""
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 180, seed=37).cache()
+        part = F.pmod(F.xxhash64("url"), F.lit(3))
+        base_p = str(tmp_path / "base.parquet")
+        inc_p = str(tmp_path / "inc.parquet")
+        pages.filter(part != 0).write.parquet(base_p)
+        pages.filter(part == 0).write.parquet(inc_p)
+        # remove every 7th doc of the full corpus
+        rm_ids = pages.select(F.xxhash64("url").alias("doc_id")).filter(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0
+        )
+        rm_p = str(tmp_path / "rm.parquet")
+        rm_ids.write.parquet(rm_p)
+
+        ckpt = str(tmp_path / "ckpt")
+        caps = ["--bucket-cap", "100000", "--anchor-cap", "100000",
+                "--shuffle-partitions", "8"]
+        assert main(["--input", base_p, "--output", str(tmp_path / "o0"),
+                     "--checkpoint-dir", ckpt] + caps) == 0
+        assert main(["--input", inc_p, "--output", str(tmp_path / "o1"),
+                     "--checkpoint-dir", ckpt, "--incremental",
+                     "--batch-id", "b1"] + caps) == 0
+        assert main(["--input", rm_p, "--output", str(tmp_path / "o2"),
+                     "--checkpoint-dir", ckpt, "--remove"] + caps) == 0
+
+        cfg = DedupConfig(shuffle_partitions=8, bucket_cap=100_000, anchor_cap=100_000)
+        io = ParquetCheckpointIO(ckpt, cfg.config_hash())
+        got = _assign(io.read(spark, "components"))
+        rm_set = {r["doc_id"] for r in rm_ids.collect()}
+        keep = pages.filter(
+            F.pmod(F.xxhash64("url"), F.lit(7)) != 0
+        )
+        want = _assign(DedupPipeline(spark, cfg).run(keep)["components"])
+        assert got == want
+        # standing docs shrank exactly; no removed id keeps a signature
+        assert io.read(spark, "docs").count() == 180 - len(rm_set)
+        sig_ids = {r["doc_id"] for r in io.read(spark, "signatures").select("doc_id").collect()}
+        assert not (sig_ids & rm_set)
+        # idempotent: re-running the same removal is a no-op
+        assert main(["--input", rm_p, "--output", str(tmp_path / "o3"),
+                     "--checkpoint-dir", ckpt, "--remove"] + caps) == 0
+        assert _assign(io.read(spark, "components")) == want
