@@ -41,11 +41,13 @@ cell, so candidates need no dedup and the index is not replicated
 n_bands times. k-means cells on real corpora skew (dense regions →
 hot cells): ``cell_cap`` drops over-full cells into an overflow
 DataFrame, never silently (same policy as lsh.capped_buckets). Past
-the 2^16-cell cap the composition is hierarchical (train a second
-quantizer within each coarse cell — the operator composes over
-``build_ivf_index``'s output); a single flat quantizer with 10^9
-centroids would not broadcast, and this module does not pretend it
-would.
+the 2^16-cell cap the composition is hierarchical and IMPLEMENTED:
+:func:`train_ivf2` / :func:`ivf2_topk` — a broadcastable coarse level
+plus per-cell fine k-means trained distributedly (one task per coarse
+cell), the full fine centroid table living in a DataFrame joined BY
+CELL (a single flat quantizer with 10^9 centroids would not
+broadcast); probing everything reproduces brute force exactly
+(pytest-pinned).
 """
 
 from __future__ import annotations
@@ -100,9 +102,19 @@ def train_ivf_centroids(
         .sort_values("vid")
     )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample["vec"]])
+    return spherical_kmeans(X, int(n_cells), seed=seed, n_iters=n_iters)
+
+
+def spherical_kmeans(
+    X: np.ndarray, k: int, seed: int = 42, n_iters: int = 20
+) -> np.ndarray:
+    """Deterministic spherical k-means core (numpy; kmeans++ init under
+    a fixed RandomState, Lloyd with deterministic empty-cell reseeding
+    — the point its own cell serves worst). Rows are normalized here;
+    returns unit-norm centroids of shape (min(k, len(X)), dim)."""
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    n = len(X)
-    k = min(int(n_cells), n)
+    n, dim = X.shape
+    k = min(int(k), n)
     rng = np.random.RandomState(seed)
 
     # kmeans++ seeding in cosine distance (1 - cos on unit vectors)
@@ -247,9 +259,27 @@ def ivf_topk(
         .withColumn("side", F.lit(0))
     )
     margin = float("-inf") if min_cosine is None else float(min_cosine) - 1e-6
-    slack = 8  # survives GEMM-vs-sequential-fold last-ulp drift at the cut
+    cands = (
+        members.unionByName(probes)
+        .groupBy("cell")
+        .applyInPandas(
+            _make_group_topk_fn(k, margin), schema="query_id long, neighbor_id long"
+        )
+    )
+    topk = _exact_rerank(
+        cands, corpus, queries, k, min_cosine, round_digits, id_col, vec_col
+    )
+    return topk, overflow
 
-    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+
+def _make_group_topk_fn(k: int, margin: float, slack: int = 8):
+    """GEMM local-top-k over one tagged group: rows carry (rid, vec,
+    side) with side 0 = index members, 1 = probing queries. Emits each
+    query's local top-(k+slack) member ids in the GLOBAL tie-break
+    order (-cosine, id); ``slack`` survives GEMM-vs-sequential-fold
+    last-ulp drift at the cut."""
+
+    def group_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         mem = pdf[pdf["side"] == 0]
         qs = pdf[pdf["side"] == 1]
         if len(mem) == 0 or len(qs) == 0:
@@ -277,14 +307,23 @@ def ivf_topk(
             out_n.extend(ids_m[order])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
-    cands = (
-        members.unionByName(probes)
-        .groupBy("cell")
-        .applyInPandas(cell_topk, schema="query_id long, neighbor_id long")
-    )
-    # exact join-back cosine on the tiny survivor set (Catalyst
-    # sequential fold == the DuckDB oracle's rounding, same policy as
-    # blocked_cosine_pairs) — at most nprobe·(k+slack) rows per query
+    return group_topk
+
+
+def _exact_rerank(
+    cands: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    min_cosine: float | None,
+    round_digits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact join-back cosine on the tiny survivor set (Catalyst
+    sequential fold == the DuckDB oracle's rounding, same policy as
+    blocked_cosine_pairs) — at most probes·(k+slack) rows per query —
+    then the global per-query rank."""
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     scored = (
@@ -296,5 +335,185 @@ def ivf_topk(
     if min_cosine is not None:
         scored = scored.filter(F.col("cosine") >= float(min_cosine))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    return topk, overflow
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# Two-level IVF — the composition past the flat quantizer's broadcast cap
+# --------------------------------------------------------------------------
+
+def train_ivf2(
+    corpus: DataFrame,
+    dim: int,
+    n_coarse: int,
+    n_fine: int,
+    n_vectors_hint: int | None = None,
+    sample_per_cell: int = 1024,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: np.ndarray | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """Train the hierarchical quantizer the flat docstring promises:
+    a broadcastable COARSE spherical-k-means level plus, per coarse
+    cell, a FINE spherical-k-means trained DISTRIBUTEDLY (one
+    applyInPandas task per coarse cell over a deterministic sample) —
+    total fine centroids n_coarse × n_fine can exceed any broadcast
+    budget because they live in a DataFrame joined BY CELL, never
+    shipped whole to anyone.
+
+    Returns ``(coarse_centroids, fine_df)`` where fine_df has columns
+    (cell int, fine int, centroid array<double>), centroids unit-norm,
+    fine ids dense per cell.
+
+    Determinism: the fine-training sample is ``pmod(xxhash64(id, seed),
+    ratio) == 0`` (ratio from ``n_vectors_hint`` targeting
+    ``sample_per_cell`` rows per cell in expectation — no per-cell
+    window, no skew pattern), rows sort by id inside each task, each
+    cell's k-means seeds with ``seed*1000003 + cell``.
+    """
+    n = int(n_vectors_hint) if n_vectors_hint is not None else corpus.count()
+    if coarse is None:
+        coarse = train_ivf_centroids(
+            corpus, dim, n_coarse, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    posting, _ = build_ivf_index(corpus, coarse, id_col, vec_col)
+    ratio = max(1, n // (len(coarse) * int(sample_per_cell)))
+    samp = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .filter(F.pmod(F.xxhash64(F.col("vid"), F.lit(seed)), F.lit(ratio)) == 0)
+        .join(posting, "vid")
+    )
+    fine_k = int(n_fine)
+    cap = 4 * int(sample_per_cell)
+    base_seed = int(seed)
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        pdf = pdf.sort_values("vid").head(cap)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        X = X[np.linalg.norm(X, axis=1) > 0]
+        if len(X) == 0:
+            return pd.DataFrame({"cell": [], "fine": [], "centroid": []})
+        cents = spherical_kmeans(
+            X, fine_k, seed=(base_seed * 1000003 + int(cell)) % (2**31)
+        )
+        return pd.DataFrame(
+            {
+                "cell": [int(cell)] * len(cents),
+                "fine": list(range(len(cents))),
+                "centroid": [list(map(float, c)) for c in cents],
+            }
+        )
+
+    fine = samp.groupBy("cell").applyInPandas(
+        fit, schema="cell int, fine int, centroid array<double>"
+    )
+    return coarse, fine
+
+
+def _assign_fine(
+    tagged: DataFrame, fine: DataFrame, out_schema: str, top_p: int
+):
+    """Shared fine-level assignment: group rows (cell, rid, vec) with
+    the cell's fine centroids in ONE applyInPandas per coarse cell —
+    the centroid table is joined by cell, never broadcast. Emits each
+    row's ``top_p`` nearest fine ids."""
+    cents = fine.select(
+        "cell",
+        F.col("fine").alias("rid"),
+        F.col("centroid").alias("vec"),
+    ).withColumn("side", F.lit(2))
+
+    def assign(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        cs = pdf[pdf["side"] == 2].sort_values("rid")
+        rows = pdf[pdf["side"] != 2]
+        if len(cs) == 0 or len(rows) == 0:
+            return pd.DataFrame({"cell": [], "fine": [], "rid": [], "vec": []})
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in cs["vec"]])
+        ids_f = cs["rid"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["vec"]])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (X / norms) @ C.T
+        p = min(top_p, len(ids_f))
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+        out_cell, out_fine, out_rid, out_vec = [], [], [], []
+        for i, rid in enumerate(rows["rid"]):
+            for j in order[i]:
+                out_cell.append(int(cell))
+                out_fine.append(int(ids_f[j]))
+                out_rid.append(int(rid))
+                out_vec.append(list(rows["vec"].iloc[i]))
+        return pd.DataFrame(
+            {"cell": out_cell, "fine": out_fine, "rid": out_rid, "vec": out_vec}
+        )
+
+    return tagged.unionByName(cents).groupBy("cell").applyInPandas(
+        assign, schema=out_schema
+    )
+
+
+def ivf2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse: np.ndarray,
+    fine: DataFrame,
+    nprobe_coarse: int = 4,
+    nprobe_fine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-level IVF top-k: queries probe ``nprobe_coarse`` coarse
+    cells, then ``nprobe_fine`` fine cells within each; candidates are
+    the probed (cell, fine) buckets' members, scored by the same
+    per-group GEMM + exact-fold rerank as :func:`ivf_topk`.
+
+    The at-scale point: the per-task candidate set shrinks from
+    n/n_coarse (flat) to n/(n_coarse·n_fine), and the full fine
+    centroid table (n_coarse × n_fine × dim — past any broadcast
+    budget at 10^9-centroid scale) is only ever JOINED by coarse cell:
+    each task sees its own cell's n_fine centroids. Every corpus vector
+    lives in exactly one (cell, fine) bucket, so candidates need no
+    dedup. Recall dial: (nprobe_coarse, nprobe_fine); probing
+    everything reproduces the flat result at the same coarse level.
+    """
+    probe = make_cell_probe_udf(coarse, nprobe=nprobe_coarse)
+    # index side: each vector's single (cell, fine) bucket
+    cposting, _ = build_ivf_index(corpus, coarse, id_col, vec_col)
+    cmembers = (
+        cposting.join(
+            corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+            "vid",
+        )
+        .select("cell", F.col("vid").alias("rid"), "vec")
+        .withColumn("side", F.lit(0))
+    )
+    members = _assign_fine(
+        cmembers, fine, "cell int, fine int, rid long, vec array<double>", top_p=1
+    ).withColumn("side", F.lit(0))
+    # query side: nprobe_coarse cells, then nprobe_fine fine ids each
+    qprobes = queries.select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).cast(T.ArrayType(T.DoubleType())).alias("vec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    ).withColumn("side", F.lit(1))
+    probes = _assign_fine(
+        qprobes, fine, "cell int, fine int, rid long, vec array<double>",
+        top_p=nprobe_fine,
+    ).withColumn("side", F.lit(1))
+    margin = float("-inf") if min_cosine is None else float(min_cosine) - 1e-6
+    cands = (
+        members.unionByName(probes)
+        .groupBy("cell", "fine")
+        .applyInPandas(
+            _make_group_topk_fn(k, margin), schema="query_id long, neighbor_id long"
+        )
+    )
+    return _exact_rerank(
+        cands, corpus, queries, k, min_cosine, round_digits, id_col, vec_col
+    )

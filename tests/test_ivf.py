@@ -127,3 +127,64 @@ class TestTopK:
     def test_trains_inline_when_no_centroids(self, vectors):
         got, _ = ivf_topk(vectors, vectors, k=1, nprobe=4, n_cells=8, seed=3)
         assert got.count() == N  # every query has >= 1 candidate neighbor
+
+
+class TestTwoLevelIVF:
+    def _train(self, vectors, n_coarse=4, n_fine=3):
+        from gnames_spark.operators.ivf import train_ivf2
+
+        return train_ivf2(
+            vectors, DIM, n_coarse, n_fine, n_vectors_hint=N,
+            sample_per_cell=N, seed=3,
+        )
+
+    def test_train_deterministic_and_well_formed(self, vectors):
+        coarse1, fine1 = self._train(vectors)
+        coarse2, fine2 = self._train(vectors)
+        assert np.array_equal(coarse1, coarse2)
+        rows1 = sorted(
+            (r["cell"], r["fine"], tuple(r["centroid"])) for r in fine1.collect()
+        )
+        rows2 = sorted(
+            (r["cell"], r["fine"], tuple(r["centroid"])) for r in fine2.collect()
+        )
+        assert rows1 == rows2
+        # unit-norm centroids, dense fine ids per cell
+        by_cell = {}
+        for cell, fid, cent in rows1:
+            by_cell.setdefault(cell, []).append(fid)
+            assert abs(np.linalg.norm(cent) - 1.0) < 1e-9
+        for fids in by_cell.values():
+            assert fids == list(range(len(fids)))
+
+    def test_exact_when_probing_everything(self, vectors):
+        """All (cell, fine) buckets probed -> every corpus vector is a
+        candidate -> exactly brute force (each vector lives in exactly
+        one bucket; no dedup needed)."""
+        from gnames_spark.operators.ivf import ivf2_topk
+
+        coarse, fine = self._train(vectors)
+        got = ivf2_topk(
+            vectors, vectors, k=3, coarse=coarse, fine=fine,
+            nprobe_coarse=4, nprobe_fine=3,
+        )
+        want = cosine_topk(vectors, vectors, k=3)
+        a = set(map(tuple, got.select("query_id", "neighbor_id", "cosine", "rank").collect()))
+        b = set(map(tuple, want.select("query_id", "neighbor_id", "cosine", "rank").collect()))
+        assert a == b
+
+    def test_partial_probing_recall_on_clustered(self, vectors):
+        from gnames_spark.operators.ivf import ivf2_topk
+
+        coarse, fine = self._train(vectors)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(vectors, vectors, k=3).collect()
+        }
+        got = ivf2_topk(
+            vectors, vectors, k=3, coarse=coarse, fine=fine,
+            nprobe_coarse=2, nprobe_fine=2,
+        )
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        recall = len(hits & truth) / len(truth)
+        assert recall >= 0.9, recall
