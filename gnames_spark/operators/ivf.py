@@ -279,7 +279,7 @@ def _make_group_topk_fn(k: int, margin: float, slack: int = 8):
     order (-cosine, id); ``slack`` survives GEMM-vs-sequential-fold
     last-ulp drift at the cut."""
 
-    def group_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def group_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         mem = pdf[pdf["side"] == 0]
         qs = pdf[pdf["side"] == 1]
         if len(mem) == 0 or len(qs) == 0:
@@ -388,7 +388,7 @@ def train_ivf2(
     cap = 4 * int(sample_per_cell)
     base_seed = int(seed)
 
-    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (cell,) = key
         pdf = pdf.sort_values("vid").head(cap)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
@@ -425,7 +425,7 @@ def _assign_fine(
         F.col("centroid").alias("vec"),
     ).withColumn("side", F.lit(2))
 
-    def assign(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assign(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (cell,) = key
         cs = pdf[pdf["side"] == 2].sort_values("rid")
         rows = pdf[pdf["side"] != 2]
