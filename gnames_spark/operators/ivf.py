@@ -394,7 +394,15 @@ def train_ivf2(
         X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         X = X[np.linalg.norm(X, axis=1) > 0]
         if len(X) == 0:
-            return pd.DataFrame({"cell": [], "fine": [], "centroid": []})
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series(dtype="int64"),
+                    "fine": pd.Series(dtype="int64"),
+                    # dtype=object: an empty float64 ndarray column cannot
+                    # Arrow-convert to list<double>
+                    "centroid": pd.Series(dtype=object),
+                }
+            )
         cents = spherical_kmeans(
             X, fine_k, seed=(base_seed * 1000003 + int(cell)) % (2**31)
         )
@@ -430,7 +438,14 @@ def _assign_fine(
         cs = pdf[pdf["side"] == 2].sort_values("rid")
         rows = pdf[pdf["side"] != 2]
         if len(cs) == 0 or len(rows) == 0:
-            return pd.DataFrame({"cell": [], "fine": [], "rid": [], "vec": []})
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series(dtype="int64"),
+                    "fine": pd.Series(dtype="int64"),
+                    "rid": pd.Series(dtype="int64"),
+                    "vec": pd.Series(dtype=object),  # see fit(): list column
+                }
+            )
         C = np.stack([np.asarray(v, dtype=np.float64) for v in cs["vec"]])
         ids_f = cs["rid"].to_numpy()
         X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["vec"]])

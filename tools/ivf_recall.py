@@ -24,6 +24,7 @@ sections are ann_recall.py's). Usage:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -120,12 +121,55 @@ def main() -> int:
             f"scan~{scan_frac_mean:.3f} [{secs:.1f}s]"
         )
 
+    # --- two-level IVF: same corpus/truth, (nprobe_coarse, nprobe_fine)
+    # grid; n_coarse x n_fine sized so total buckets ~= the flat cell
+    # count (cost-comparable), per-task candidates ~n/(coarse*fine)
+    from gnames_spark.operators.ivf import ivf2_topk, train_ivf2
+
+    n_coarse = max(4, int(round(math.sqrt(n_cells) * 2)))
+    n_fine = max(2, n_cells // n_coarse)
+    t0 = time.monotonic()
+    coarse2, fine2 = train_ivf2(
+        corpus, DIM, n_coarse, n_fine, n_vectors_hint=n, seed=7
+    )
+    train2_secs = time.monotonic() - t0
+    ivf2 = {
+        "n_coarse": n_coarse,
+        "n_fine": n_fine,
+        "train_secs": round(train2_secs, 2),
+        "sweeps": [],
+    }
+    for pc, pf in ((1, 2), (2, 2), (2, 4), (4, 4)):
+        t0 = time.monotonic()
+        got_df = ivf2_topk(
+            corpus, queries, k=k, coarse=coarse2, fine=fine2,
+            nprobe_coarse=pc, nprobe_fine=pf,
+        )
+        got = {(r["query_id"], r["neighbor_id"]) for r in got_df.collect()}
+        secs = time.monotonic() - t0
+        recall = len(got & truth) / len(truth) if truth else 1.0
+        scan = (pc * pf) / (n_coarse * n_fine)
+        ivf2["sweeps"].append(
+            {
+                "nprobe_coarse": pc,
+                "nprobe_fine": pf,
+                "recall": round(recall, 4),
+                "scan_frac_mean": round(scan, 4),
+                "secs": round(secs, 2),
+            }
+        )
+        print(
+            f"ivf2 probes={pc}x{pf}/{n_coarse}x{n_fine} recall@{k}={recall:.4f} "
+            f"scan~{scan:.3f} [{secs:.1f}s]"
+        )
+    section["ivf2"] = ivf2
+
     path = "ANN_RECALL.json"
     report = json.load(open(path)) if os.path.exists(path) else {}
     report["ivf_topk"] = section
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
-    print(f"updated {path} (ivf_topk section)")
+    print(f"updated {path} (ivf_topk section incl. ivf2)")
     return 0
 
 
