@@ -77,10 +77,16 @@ _DK_TOKS = (
     + WS_CLASS_RE2
     + "+'), t -> t != '')"
 )
-_DK_SHINGLES = (
-    f"list_distinct(list_transform(range(1, greatest(len({_DK_TOKS}) - {K} + 1, 0) + 1), "
-    f"i -> array_to_string(list_slice({_DK_TOKS}, i, i + {K - 1}), ' ')))"
-)
+def _dk_grams(k: int) -> str:
+    """Distinct word k-gram strings (the DuckDB mirror of
+    functions.shingles.shingle_strings at arbitrary k)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({_DK_TOKS}) - {k} + 1, 0) + 1), "
+        f"i -> array_to_string(list_slice({_DK_TOKS}, i, i + {k - 1}), ' ')))"
+    )
+
+
+_DK_SHINGLES = _dk_grams(K)
 # brute-force all-pairs word-K-shingle jaccard >= TAU (the oracle for both
 # the exact posting-list algorithm and the MinHash/LSH pipeline)
 _DK_JACCARD_PAIRS = f"""
@@ -307,6 +313,22 @@ def q_dedup_source_dup_rate(spark, sf_dir):
         )
         .withColumn("dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6))
     )
+
+
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    corpus docs sharing >= 1 DISTINCT 13-token gram with a pretend
+    eval set (doc_id % 40 == 0) — the asymmetric corpus-vs-reference
+    screen LLM data pipelines run so models never train on their own
+    test questions. On this table: the 13 eval docs flag themselves
+    plus 1 near-dup cross hit. Reference grams broadcast (eval suites
+    are small); the corpus streams one exploded gram row per (doc,
+    distinct gram) — no corpus self-join."""
+    from gnames_spark.operators.decontaminate import contamination_matches
+
+    docs = _docs(spark, sf_dir)
+    reference = docs.filter(F.col("doc_id") % 40 == 0)
+    return contamination_matches(docs, reference, n=13)
 
 
 def q_dedup_embedding_components(spark, sf_dir):
@@ -1188,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_components": q_dedup_incremental_components,
         "dedup_embedding_components": q_dedup_embedding_components,
         "dedup_containment_pairs": q_dedup_containment_pairs,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_source_dup_rate": q_dedup_source_dup_rate,
         "dedup_incremental_summary": q_dedup_incremental_summary,
         "dedup_representatives": q_dedup_representatives,
@@ -1318,6 +1341,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / least(len(a.s), len(b.s)) >= 0.9
+        """,
+        "dedup_decontaminate": f"""
+            WITH ref AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest({_dk_grams(13)}) AS gram
+                FROM documents WHERE doc_id % 40 = 0
+              )
+            ), dg AS (
+              SELECT doc_id, unnest({_dk_grams(13)}) AS gram FROM documents
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matched_grams
+            FROM dg JOIN ref USING (gram)
+            GROUP BY doc_id
         """,
         "dedup_source_dup_rate": f"""
             WITH pairs AS ({_DK_JACCARD_PAIRS}),

@@ -517,3 +517,61 @@ class TestCCReliableRounds:
             for r in connected_components(e, io=io2).collect()
         }
         assert again == first
+
+
+class TestDecontaminate:
+    BENCH = ("what is the capital of france and which river flows through "
+             "its center on the way to the english channel today")
+
+    def _corpus(self, spark):
+        rows = [
+            # quotes the benchmark sentence verbatim inside other text
+            (1, "intro words before the quote " + self.BENCH + " and trailing"),
+            # clean doc, no overlap
+            (2, "a completely unrelated page about gardening tools and soil"),
+            # quotes only a SHORT (< 13 tokens) fragment — the documented
+            # miss class: the evidence unit is longer than the quote
+            (3, "short quote: what is the capital of france nothing more"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _reference(self, spark):
+        return spark.createDataFrame([(100, self.BENCH)], "doc_id long, text string")
+
+    def test_flags_verbatim_quote_only(self, spark):
+        from gnames_spark.operators.decontaminate import contamination_matches
+
+        hits = {
+            r["doc_id"]: r["n_matched_grams"]
+            for r in contamination_matches(
+                self._corpus(spark), self._reference(spark), n=13
+            ).collect()
+        }
+        assert 1 in hits and hits[1] >= 1
+        assert 2 not in hits
+        assert 3 not in hits  # sub-13-token quote: characterized miss
+
+    def test_decontaminate_split(self, spark):
+        from gnames_spark.operators.decontaminate import decontaminate
+
+        clean, contaminated = decontaminate(
+            self._corpus(spark), self._reference(spark), n=13
+        )
+        assert {r["doc_id"] for r in contaminated.collect()} == {1}
+        assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+    def test_repeated_quote_counts_once(self, spark):
+        """array_distinct before the explode: a doc repeating one
+        benchmark sentence 5x matches each distinct gram once."""
+        from gnames_spark.operators.decontaminate import contamination_matches
+
+        once = spark.createDataFrame([(1, self.BENCH)], "doc_id long, text string")
+        five = spark.createDataFrame(
+            [(1, " ".join([self.BENCH] * 5))], "doc_id long, text string"
+        )
+        ref = self._reference(spark)
+        n1 = contamination_matches(once, ref, n=13).first()["n_matched_grams"]
+        n5 = contamination_matches(five, ref, n=13).first()["n_matched_grams"]
+        # the 5x doc gains only the grams SPANNING the repeat seam,
+        # never 5x the count
+        assert n1 <= n5 < 2 * n1
