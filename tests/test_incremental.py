@@ -668,3 +668,80 @@ class TestRemovalCLI:
         assert main(["--input", rm_p, "--output", str(tmp_path / "o3"),
                      "--checkpoint-dir", ckpt, "--remove"] + caps) == 0
         assert _assign(io.read(spark, "components")) == want
+
+
+class TestRemovalCrashSafety:
+    def _base(self, spark, tmp_path):
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 120, seed=41).cache()
+        inp = str(tmp_path / "pages.parquet")
+        pages.write.parquet(inp)
+        ckpt = str(tmp_path / "ckpt")
+        caps = ["--bucket-cap", "100000", "--anchor-cap", "100000",
+                "--shuffle-partitions", "8"]
+        assert main(["--input", inp, "--output", str(tmp_path / "o0"),
+                     "--checkpoint-dir", ckpt] + caps) == 0
+        cfg = DedupConfig(shuffle_partitions=8, bucket_cap=100_000, anchor_cap=100_000)
+        io = ParquetCheckpointIO(ckpt, cfg.config_hash())
+        rm_ids = pages.select(F.xxhash64("url").alias("doc_id")).limit(10)
+        rm_p = str(tmp_path / "rm.parquet")
+        rm_ids.write.parquet(rm_p)
+        return io, ckpt, rm_p, caps, pages
+
+    def test_refuses_crashed_increment_state(self, spark, tmp_path):
+        """docs > components manifest rows = a crashed INCREMENT promote;
+        removing on that state would compound the incoherence — refused
+        with exit 2, store untouched."""
+        from gnames_spark.cli import main
+
+        io, ckpt, rm_p, caps, pages = self._base(spark, tmp_path)
+        # simulate the crash window: append phantom rows to docs only
+        docs = io.read(spark, "docs")
+        phantom = docs.limit(5).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10**15)
+        )
+        io.write(docs.unionByName(phantom).localCheckpoint(eager=True), "docs")
+        assert io.manifest_rows("docs") > io.manifest_rows("components")
+        n_comp_before = io.read(spark, "components").count()
+        assert main(["--input", rm_p, "--output", str(tmp_path / "or"),
+                     "--checkpoint-dir", ckpt, "--remove"] + caps) == 2
+        assert io.read(spark, "components").count() == n_comp_before
+
+    def test_heals_crashed_removal_state(self, spark, tmp_path):
+        """docs < components manifest rows = a removal that crashed after
+        the docs rewrite; re-running the SAME removal completes it and
+        the store ends consistent with a clean removal."""
+        from gnames_spark.cli import main
+
+        io, ckpt, rm_p, caps, pages = self._base(spark, tmp_path)
+        rm_set = {r["doc_id"] for r in spark.read.parquet(rm_p).collect()}
+        # clean removal on a copy of expectations: run it once fully
+        assert main(["--input", rm_p, "--output", str(tmp_path / "o1"),
+                     "--checkpoint-dir", ckpt, "--remove"] + caps) == 0
+        want = _assign(io.read(spark, "components"))
+        # now simulate the crash window on a FRESH store: docs rewritten,
+        # components not (signatures/verified already done per the write
+        # order, so rewriting docs alone is the deepest crash point)
+        ckpt2 = str(tmp_path / "ckpt2")
+        inp = str(tmp_path / "pages.parquet")
+        assert main(["--input", inp, "--output", str(tmp_path / "o2"),
+                     "--checkpoint-dir", ckpt2] + caps) == 0
+        from gnames_spark.checkpoint import ParquetCheckpointIO
+        cfg = DedupConfig(shuffle_partitions=8, bucket_cap=100_000, anchor_cap=100_000)
+        io2 = ParquetCheckpointIO(ckpt2, cfg.config_hash())
+        docs2 = io2.read(spark, "docs")
+        rm_df = spark.read.parquet(rm_p)
+        io2.write(
+            docs2.join(F.broadcast(rm_df), "doc_id", "left_anti")
+            .localCheckpoint(eager=True),
+            "docs",
+        )
+        assert io2.manifest_rows("docs") < io2.manifest_rows("components")
+        # healing re-run of the SAME removal is allowed through and lands
+        # the same final assignment as the clean removal
+        assert main(["--input", rm_p, "--output", str(tmp_path / "o3"),
+                     "--checkpoint-dir", ckpt2, "--remove"] + caps) == 0
+        assert _assign(io2.read(spark, "components")) == want
+        assert io2.manifest_rows("docs") == io2.manifest_rows("components")
