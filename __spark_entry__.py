@@ -23,7 +23,13 @@ from pyspark.sql import Window as W
 
 from gnames_spark.config import DedupConfig
 from gnames_spark.functions.minhash import minhash
-from gnames_spark.functions.shingles import WS_CLASS_RE2, shingle_set, shingle_strings
+from gnames_spark.functions.shingles import (
+    WS_CLASS_RE2,
+    shingle_set,
+    shingle_strings,
+    tokenize_sql,
+)
+from gnames_spark.functions.urlnorm import latest_snapshot
 from gnames_spark.functions.sigkernel import make_anchor_udf
 from gnames_spark.functions.simhash import FNV_BASIS1, FNV_BASIS2, FNV_PREFIX, FNV_PRIME, make_fnv_simhash_udf
 from gnames_spark.functions.textstats import (
@@ -1217,6 +1223,90 @@ def q_u4_intersect_except(spark, sf_dir):
     return both.unionByName(only96)
 
 
+# --------------------------------------------------------------------------
+# line-granular hygiene queries — the synthetic corpus has no newlines, so
+# both engines derive the SAME multi-line text: contract tokens chunked
+# into 3-token lines joined by '\n' (3 keeps within-doc and cross-doc line
+# collisions non-trivial on the small vocabulary).
+# --------------------------------------------------------------------------
+LINE_W = 3
+
+
+def _derived_line_text():
+    toks = f"filter({tokenize_sql('text')}, t -> t != '')"
+    body = (
+        f"CASE WHEN size(ws) = 0 THEN '' ELSE "
+        f"array_join(transform(sequence(1, cast(ceil(size(ws) / {LINE_W}.0) as int)), "
+        f"i -> concat_ws(' ', slice(ws, (i - 1) * {LINE_W} + 1, {LINE_W}))), '\\n') END"
+    )
+    return F.expr(f"element_at(transform(array({toks}), ws -> {body}), 1)")
+
+
+def _line_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", _derived_line_text().alias("text")
+    )
+
+
+def q_dedup_line_dedup(spark, sf_dir):
+    """C4-style cross-doc line dedup (operators/linededup.py): any
+    derived line occurring in >= 2 DISTINCT docs is boilerplate and is
+    stripped from every carrier; output is the per-doc audit counts +
+    md5 of the cleaned text (order-preserving reassembly). Skew-safe by
+    construction: line counts are a groupBy(line_hash) agg (a 10^7-doc
+    cookie banner is one combiner cell), membership is an anti-ish left
+    join against that aggregate — no windows anywhere."""
+    from gnames_spark.operators.linededup import strip_shared_lines
+
+    cleaned = strip_shared_lines(_line_docs(spark, sf_dir), min_docs=2)
+    return cleaned.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_shared_lines").cast("long").alias("n_shared_lines"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition gates (operators/
+    repetition.py): duplicate-line fraction over the derived lines +
+    top-bigram fraction over the contract tokens; ``repetitive`` is the
+    OR of the two Gopher thresholds (0.30 / 0.20, n-gram-count proxy
+    for Gopher's character weighting). Two-level map-side-combinable
+    groupBys keyed on (doc_id, unit) — no skew surface, no Python."""
+    from gnames_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_line_docs(spark, sf_dir), ngram=2)
+
+
+def q_dedup_url_snapshot(spark, sf_dir):
+    """Crawl-snapshot collapse (functions/urlnorm.py): canonicalize
+    messy URLs (case/www/default-port/tracking-params/param-order/
+    trailing-slash/fragment variants synthesized deterministically from
+    doc_id) and keep the newest (warc_ts, doc_id) capture per canonical
+    key — groupBy(canonical).agg(max_by(row, (ts, id))): the skew-safe
+    representative idiom; a URL recrawled 10^6 times is one combiner
+    cell. The full winning row rides in the agg struct (no join-back)."""
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat("
+            "CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,"
+            "source, '.example.com',"
+            "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,"
+            "'/p/', cast(doc_id % 5 as string),"
+            "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,"
+            "CASE doc_id % 6 WHEN 0 THEN '?utm_source=x&b=2&a=1' "
+            "WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?b=2&a=1&fbclid=z' "
+            "ELSE '' END,"
+            "CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)"
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("doc_id") * 37).alias("warc_ts"),
+    )
+    return latest_snapshot(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash/LSH near-dup clusters on sf0.001 documents."""
     return q_dedup_representatives(spark, "/root/testdata/sf0.001")
@@ -1282,7 +1372,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf2_topk": q_emb_ivf2_topk,
+        "dedup_line_dedup": q_dedup_line_dedup,
+        "text_repetition": q_text_repetition,
+        "dedup_url_snapshot": q_dedup_url_snapshot,
     }
+
+
+# DuckDB mirrors of the line-granular derivation (3-token lines) and the
+# URL canonicalization contract (functions/urlnorm.py docstring, steps 1-6).
+_DK_LINES3 = (
+    f"list_transform(range(1, cast(ceil(len({_DK_TOKS}) / {LINE_W}.0) as int) + 1), "
+    f"i -> array_to_string(list_slice({_DK_TOKS}, "
+    f"(i - 1) * {LINE_W} + 1, (i - 1) * {LINE_W} + {LINE_W}), ' '))"
+)
+_DK_GRAMS2_ALL = (
+    f"list_transform(range(1, greatest(len({_DK_TOKS}) - 1, 0) + 1), "
+    f"i -> array_to_string(list_slice({_DK_TOKS}, i, i + 1), ' '))"
+)
+_DK_URL_SYNTH = """
+    SELECT doc_id, source,
+      concat(
+        CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+        source, '.example.com',
+        CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+        '/p/', cast(doc_id % 5 as varchar),
+        CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+        CASE doc_id % 6 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+          WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?b=2&a=1&fbclid=z' ELSE '' END,
+        CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END
+      ) AS url,
+      1700000000 + doc_id * 37 AS warc_ts
+    FROM documents
+"""
+
+
+def _dk_canonical_url(col: str) -> str:
+    """DuckDB expression mirroring functions.urlnorm.canonical_url.
+    (DuckDB regexp_replace is first-match-only vs Spark's global, but
+    every pattern here matches at most once by construction — anchored,
+    or consuming through end-of-string.)"""
+    no_frag = f"regexp_replace({col}, '#.*', '')"
+    auth = f"lower(regexp_extract({no_frag}, '^([^:/?#]+://[^/?#]*)', 1))"
+    auth = f"regexp_replace({auth}, '://www\\.', '://')"
+    auth = (
+        f"regexp_replace(regexp_replace({auth}, "
+        f"'^(https://[^:/]+):443$', '\\1'), '^(http://[^:/]+):80$', '\\1')"
+    )
+    rest = f"regexp_extract({no_frag}, '^[^:/?#]+://[^/?#]*(.*)$', 1)"
+    path = f"regexp_replace(regexp_replace({rest}, '\\?.*', ''), '/+$', '')"
+    raw_q = (
+        f"CASE WHEN contains({rest}, '?') "
+        f"THEN regexp_replace({rest}, '^[^?]*\\?', '') ELSE '' END"
+    )
+    keep = (
+        f"list_filter(string_split({raw_q}, '&'), p -> p != '' AND NOT "
+        f"regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|ref)='))"
+    )
+    # DuckDB array_to_string([]) is NULL (Spark's array_join is '')
+    query = f"coalesce(array_to_string(list_sort({keep}), '&'), '')"
+    return (
+        f"concat({auth}, {path}, "
+        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1835,6 +1986,69 @@ def oracle_sql() -> dict[str, str]:
               FROM sims WHERE cosine >= 0.4
             )
             SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        "dedup_line_dedup": f"""
+            WITH l AS (
+              SELECT doc_id, unnest(lines) AS line,
+                     generate_subscripts(lines, 1) AS line_no
+              FROM (SELECT doc_id, {_DK_LINES3} AS lines FROM documents)
+            ), hot AS (
+              SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+              GROUP BY line HAVING count(*) >= 2
+            )
+            SELECT l.doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   count(h.line)::BIGINT AS n_shared_lines,
+                   md5(coalesce(string_agg(
+                     CASE WHEN h.line IS NULL THEN l.line END,
+                     chr(10) ORDER BY l.line_no), '')) AS clean_md5
+            FROM l LEFT JOIN hot h USING (line)
+            GROUP BY l.doc_id
+        """,
+        "text_repetition": f"""
+            WITH lx AS (
+              SELECT doc_id, unnest({_DK_LINES3}) AS line FROM documents
+            ), ls AS (
+              SELECT doc_id, count(*) AS nl,
+                     count(*) - count(DISTINCT line) AS ndl
+              FROM lx GROUP BY doc_id
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest({_DK_GRAMS2_ALL}) AS g FROM documents)
+              GROUP BY doc_id, g
+            ), gs AS (
+              SELECT doc_id, sum(c) AS ng, max(c) AS tg FROM gc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nl, 0)::BIGINT AS n_lines,
+                   coalesce(ndl, 0)::BIGINT AS n_dup_lines,
+                   coalesce(ng, 0)::BIGINT AS n_grams,
+                   coalesce(tg, 0)::BIGINT AS top_gram_n,
+                   round(coalesce(ndl, 0)::DOUBLE
+                         / greatest(coalesce(nl, 0), 1), 6) AS dup_line_frac,
+                   round(coalesce(tg, 0)::DOUBLE
+                         / greatest(coalesce(ng, 0), 1), 6) AS top_gram_frac,
+                   (round(coalesce(ndl, 0)::DOUBLE
+                          / greatest(coalesce(nl, 0), 1), 6) > 0.30
+                    OR round(coalesce(tg, 0)::DOUBLE
+                             / greatest(coalesce(ng, 0), 1), 6) > 0.20)
+                       AS repetitive
+            FROM documents d
+            LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+        """,
+        "dedup_url_snapshot": f"""
+            WITH u AS ({_DK_URL_SYNTH}),
+            c AS (
+              SELECT *, {_dk_canonical_url('url')} AS canonical_url FROM u
+            )
+            SELECT canonical_url,
+                   (count(*) OVER (PARTITION BY canonical_url))::BIGINT
+                       AS n_snapshots,
+                   doc_id, source, url, warc_ts
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY canonical_url ORDER BY warc_ts DESC, doc_id DESC
+            ) = 1
         """,
     }
 

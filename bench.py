@@ -63,6 +63,10 @@ def _bench_queries(spark, sf_dir):
         "text_token_counts",
         "text_fingerprint",
         "s6_faceted_search",
+        # round-3 late additions (crawl hygiene): line-granular
+        # boilerplate dedup + URL snapshot collapse
+        "dedup_line_dedup",
+        "dedup_url_snapshot",
     ]
     timings: dict[str, float] = {}
     for name in picked:

@@ -116,8 +116,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ("min-shared-anchors", int), ("shuffle-partitions", int),
         ("max-cc-iterations", int), ("cc-salt-buckets", int),
         ("lang-filter", str),
+        # crawl-hygiene pre-clean (prepare_docs; see DedupConfig)
+        ("strip-shared-lines-min-docs", int),
+        ("max-dup-line-frac", float), ("max-top-gram-frac", float),
     ]:
         p.add_argument(f"--{flag}", type=typ, default=None)
+    p.add_argument("--collapse-url-snapshots", action="store_true",
+                   help="keep only the newest (warc_ts, url) capture per "
+                        "canonical URL before dedup (needs warc_ts)")
     return p
 
 
@@ -130,11 +136,14 @@ def _config_from_args(args: argparse.Namespace):
         "hamming_d", "jaccard_threshold", "min_substring_len",
         "winnow_window", "bucket_cap", "anchor_cap", "min_shared_anchors",
         "shuffle_partitions", "max_cc_iterations", "cc_salt_buckets",
-        "lang_filter",
+        "lang_filter", "strip_shared_lines_min_docs",
+        "max_dup_line_frac", "max_top_gram_frac",
     ):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v
+    if args.collapse_url_snapshots:
+        overrides["collapse_url_snapshots"] = True
     return DedupConfig(**overrides)
 
 

@@ -131,6 +131,25 @@ class DedupConfig:
     # /root/reference/internal/io/pgio/vern_query.go:84-93)
     lang_filter: str | None = None
 
+    # optional crawl-hygiene pre-clean, applied inside prepare_docs in
+    # this order BEFORE ids/content hashes are assigned (so content_sha
+    # is the sha of the CLEANED text). All off by default — the stage
+    # set and schema are unchanged unless opted into.
+    #   1. collapse_url_snapshots: keep only the newest (warc_ts, url)
+    #      capture per canonical URL (functions/urlnorm.py contract);
+    #      requires a warc_ts column.
+    #   2. strip_shared_lines_min_docs: C4-style boilerplate strip —
+    #      remove every line occurring in >= this many distinct pages
+    #      (operators/linededup.py). None = off.
+    #   3. max_dup_line_frac / max_top_gram_frac: Gopher repetition
+    #      gates — DROP pages whose within-doc duplicate-line fraction
+    #      or top-bigram fraction exceeds the bound
+    #      (operators/repetition.py). None = off.
+    collapse_url_snapshots: bool = False
+    strip_shared_lines_min_docs: int | None = None
+    max_dup_line_frac: float | None = None
+    max_top_gram_frac: float | None = None
+
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)
         return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]

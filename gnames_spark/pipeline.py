@@ -193,13 +193,47 @@ class DedupPipeline:
     # -- stages --------------------------------------------------------
     def prepare_docs(self, pages: DataFrame) -> DataFrame:
         """pages(url, html[, text]) → docs(doc_id, url, text, lang,
-        content_sha, n_chars). html is extracted then DROPPED."""
+        content_sha, n_chars). html is extracted then DROPPED.
+
+        Optional crawl-hygiene pre-clean (config-gated, see
+        DedupConfig): snapshot collapse → boilerplate line strip →
+        repetition gate — all BEFORE content_sha, so the exact screen
+        sees cleaned bytes (two pages differing only by a cookie
+        banner become exact dups after the strip)."""
         cfg = self.cfg
 
         def build():
             df = pages
             if "html" in df.columns:
                 df = df.withColumn("text", extract_text("html")).drop("html")
+            if cfg.collapse_url_snapshots:
+                from gnames_spark.functions.urlnorm import latest_snapshot
+
+                if "warc_ts" not in df.columns:
+                    raise ValueError(
+                        "collapse_url_snapshots needs a warc_ts column"
+                    )
+                df = latest_snapshot(df, ts_col="warc_ts", id_col="url").drop(
+                    "canonical_url", "n_snapshots"
+                )
+            if cfg.strip_shared_lines_min_docs is not None:
+                from gnames_spark.operators.linededup import strip_shared_lines
+
+                df = strip_shared_lines(
+                    df, cfg.strip_shared_lines_min_docs, id_col="url"
+                ).drop("n_lines", "n_shared_lines")
+            if cfg.max_dup_line_frac is not None or cfg.max_top_gram_frac is not None:
+                from gnames_spark.operators.repetition import repetition_stats
+
+                stats = repetition_stats(df, id_col="url").select(
+                    "url", "dup_line_frac", "top_gram_frac"
+                )
+                df = df.join(stats, "url", "left").filter(
+                    (F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+                     <= (cfg.max_dup_line_frac if cfg.max_dup_line_frac is not None else 1.0))
+                    & (F.coalesce(F.col("top_gram_frac"), F.lit(0.0))
+                       <= (cfg.max_top_gram_frac if cfg.max_top_gram_frac is not None else 1.0))
+                ).drop("dup_line_frac", "top_gram_frac")
             if cfg.lang_filter is not None:
                 df = df.filter(F.col("lang") == cfg.lang_filter)
             if "doc_id" not in df.columns:
