@@ -1279,6 +1279,34 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(_line_docs(spark, sf_dir), ngram=2)
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrub (functions/pii.py): deterministic e-mail/phone/IP
+    injections over the corpus text, then typed-token redaction in the
+    frozen (email, ip, phone) order with per-kind counts taken on the
+    progressively-redacted text (counts and redaction always agree).
+    Pure Catalyst regex — no Python, no shuffle; the oracle recomputes
+    the same RE2-safe patterns in DuckDB."""
+    from gnames_spark.functions.pii import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', "
+            "cast(doc_id as string), '@example.com') ELSE '' END,"
+            "CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END,"
+            "CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.', "
+            "cast(doc_id % 256 as string), '.1') ELSE '' END)"
+        ).alias("text"),
+    )
+    counts = [c.cast("long").alias(a) for c, a in zip(
+        pii_counts("text"), ["n_emails", "n_ips", "n_phones"]
+    )]
+    return docs.select(
+        "doc_id", *counts, F.md5(redact_pii("text")).alias("redacted_md5")
+    )
+
+
 def q_dedup_url_snapshot(spark, sf_dir):
     """Crawl-snapshot collapse (functions/urlnorm.py): canonicalize
     messy URLs (case/www/default-port/tracking-params/param-order/
@@ -1375,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_line_dedup": q_dedup_line_dedup,
         "text_repetition": q_text_repetition,
         "dedup_url_snapshot": q_dedup_url_snapshot,
+        "text_pii_scrub": q_text_pii_scrub,
     }
 
 
@@ -1434,6 +1463,45 @@ def _dk_canonical_url(col: str) -> str:
         f"concat({auth}, {path}, "
         f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END)"
     )
+
+
+def _dk_pii_scrub_sql() -> str:
+    """DuckDB mirror of functions.pii (patterns are RE2-safe by
+    contract; DuckDB regexp_replace needs the explicit 'g' flag for
+    Spark's global-replace semantics)."""
+    from gnames_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    synth = """
+      SELECT doc_id, concat(text,
+        CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+          cast(doc_id as varchar), '@example.com') ELSE '' END,
+        CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END,
+        CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.',
+          cast(doc_id % 256 as varchar), '.1') ELSE '' END) AS text
+      FROM documents
+    """
+    return f"""
+        WITH s AS ({synth}),
+        r1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+                 regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g') AS t
+          FROM s
+        ), r2 AS (
+          SELECT doc_id, ne,
+                 len(regexp_extract_all(t, '{IPV4_RE}')) AS ni,
+                 regexp_replace(t, '{IPV4_RE}', '[IP]', 'g') AS t
+          FROM r1
+        ), r3 AS (
+          SELECT doc_id, ne, ni,
+                 len(regexp_extract_all(t, '{PHONE_RE}')) AS np,
+                 regexp_replace(t, '{PHONE_RE}', '[PHONE]', 'g') AS t
+          FROM r2
+        )
+        SELECT doc_id, ne::BIGINT AS n_emails, ni::BIGINT AS n_ips,
+               np::BIGINT AS n_phones, md5(t) AS redacted_md5
+        FROM r3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2050,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY canonical_url ORDER BY warc_ts DESC, doc_id DESC
             ) = 1
         """,
+        "text_pii_scrub": _dk_pii_scrub_sql(),
     }
 
 

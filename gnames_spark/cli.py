@@ -124,6 +124,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--collapse-url-snapshots", action="store_true",
                    help="keep only the newest (warc_ts, url) capture per "
                         "canonical URL before dedup (needs warc_ts)")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="replace e-mails/IPs/phone numbers with typed "
+                        "tokens before hashing (functions/pii.py)")
     return p
 
 
@@ -144,6 +147,8 @@ def _config_from_args(args: argparse.Namespace):
             overrides[field] = v
     if args.collapse_url_snapshots:
         overrides["collapse_url_snapshots"] = True
+    if args.redact_pii:
+        overrides["redact_pii"] = True
     return DedupConfig(**overrides)
 
 

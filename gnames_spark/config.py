@@ -145,10 +145,15 @@ class DedupConfig:
     #      gates — DROP pages whose within-doc duplicate-line fraction
     #      or top-bigram fraction exceeds the bound
     #      (operators/repetition.py). None = off.
+    #   4. redact_pii: replace e-mails/IPs/phone numbers with typed
+    #      tokens (functions/pii.py) — AFTER the dedup-relevant
+    #      cleaning but before hashing, so two pages differing only in
+    #      a contact address dedup exactly.
     collapse_url_snapshots: bool = False
     strip_shared_lines_min_docs: int | None = None
     max_dup_line_frac: float | None = None
     max_top_gram_frac: float | None = None
+    redact_pii: bool = False
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)

@@ -234,6 +234,10 @@ class DedupPipeline:
                     & (F.coalesce(F.col("top_gram_frac"), F.lit(0.0))
                        <= (cfg.max_top_gram_frac if cfg.max_top_gram_frac is not None else 1.0))
                 ).drop("dup_line_frac", "top_gram_frac")
+            if cfg.redact_pii:
+                from gnames_spark.functions.pii import redact_pii
+
+                df = df.withColumn("text", redact_pii("text"))
             if cfg.lang_filter is not None:
                 df = df.filter(F.col("lang") == cfg.lang_filter)
             if "doc_id" not in df.columns:
