@@ -318,3 +318,95 @@ def streaming_page_stats(
             "avg_quality",
         )
     )
+
+
+def streaming_boilerplate_screen(
+    pages: DataFrame,
+    min_docs: int = 2,
+    id_cap: int = 4096,
+    state_ttl_minutes: int | None = 60,
+) -> DataFrame:
+    """Streaming analog of ``operators/linededup.shared_lines``: emit
+    (line_hash, line, n_docs) ONCE, in the micro-batch where a line's
+    distinct-doc count crosses ``min_docs`` — the live boilerplate
+    detector (a cookie banner shows up as shared within minutes of a
+    crawl starting; the batch strip can then use the accumulating
+    hot-line table without waiting for a full-corpus pass).
+
+    State is bounded BY DESIGN, not by luck: before a line flags, its
+    GroupState holds at most ``min_docs`` distinct doc ids
+    (distinctness only has to be exact up to the threshold —
+    ``min_docs <= id_cap`` is asserted); the moment it flags, the id
+    list is dropped and the state collapses to a (flagged, line) marker.
+    So the hottest key on an unbounded crawl — exactly the line this
+    operator exists to find — carries the SMALLEST state. TTL eviction
+    (processing-time timeout) ages out the long tail of never-shared
+    lines; ``None`` disables the timer for finite replays/tests.
+    """
+    assert min_docs <= id_cap, "min_docs must be <= id_cap for an exact threshold"
+    lines = (
+        pages.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.posexplode(F.split(F.col("text"), F.lit("\n"), -1)).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+        .select("doc_id", "line", F.xxhash64("line").alias("line_hash"))
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("line_hash", T.LongType()),
+            T.StructField("line", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("flagged", T.BooleanType()),
+            T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        ]
+    )
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60 * 1000
+
+    def screen(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            flagged, ids = state.get
+            seen = set(ids)
+        else:
+            flagged, seen = False, set()
+        out = []
+        for pdf in pdfs:
+            if flagged:
+                continue
+            for did, line in zip(pdf["doc_id"], pdf["line"]):
+                seen.add(int(did))
+                if len(seen) >= min_docs:
+                    out.append((int(key[0]), str(line), len(seen)))
+                    flagged = True
+                    seen = set()  # drop ids: flagged keys keep no list
+                    break
+        state.update((flagged, sorted(seen)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["line_hash", "line", "n_docs"])
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return lines.groupBy("line_hash").applyInPandasWithState(
+        screen,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -209,3 +209,53 @@ class TestStreamingEmbeddingScreen:
         # assert is that matches happened AND the query completed with
         # bounded state (cap path executed)
         assert 0 < n <= 40 * 39 / 2
+
+
+class TestStreamingBoilerplateScreen:
+    def test_flags_match_batch_shared_lines(self, spark, tmp_path_factory):
+        """The stateful screen flags exactly the lines the batch
+        operator (operators/linededup.shared_lines) reports at the same
+        min_docs, each exactly once, with the crossing count."""
+        from gnames_spark.operators.linededup import explode_lines, shared_lines
+        from gnames_spark.streaming.dedup_stream import (
+            streaming_boilerplate_screen,
+        )
+
+        boiler = "Cookie notice: we use cookies"
+        nav = "Home | About | Contact"
+        rows = [
+            (f"https://s{i}.com/p", f"{boiler}\nunique body {i} words\n"
+             + (nav if i % 2 == 0 else f"tail {i}"))
+            for i in range(10)
+        ]
+        static = spark.createDataFrame(rows, "url string, text string")
+        src = str(tmp_path_factory.mktemp("boiler_src") / "pages")
+        static.write.parquet(src)
+
+        stream = spark.readStream.schema(static.schema).parquet(src)
+        screened = streaming_boilerplate_screen(
+            stream, min_docs=3, state_ttl_minutes=None
+        )
+        q = (
+            screened.writeStream.format("memory")
+            .queryName("boiler_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("select * from boiler_out").collect()
+        finally:
+            q.stop()
+
+        want = {
+            r.line_hash
+            for r in shared_lines(
+                explode_lines(static, id_col="url"), 3, id_col="url"
+            ).collect()
+        }
+        assert {r.line_hash for r in got} == want
+        assert len(got) == len(want)  # each line flagged exactly once
+        by_line = {r.line: r.n_docs for r in got}
+        # crossing count == threshold
+        assert by_line == {boiler: 3, nav: 3}
