@@ -1460,8 +1460,9 @@ def _dk_canonical_url(col: str) -> str:
     # DuckDB array_to_string([]) is NULL (Spark's array_join is '')
     query = f"coalesce(array_to_string(list_sort({keep}), '&'), '')"
     return (
+        f"CASE WHEN NOT regexp_matches({col}, '^[^:/?#]+://') THEN {col} ELSE "
         f"concat({auth}, {path}, "
-        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END)"
+        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END) END"
     )
 
 

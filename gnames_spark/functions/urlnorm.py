@@ -37,7 +37,12 @@ TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|fbclid|gclid|ref)="
 
 
 def canonical_url(col: str = "url") -> Column:
-    """Canonical form of ``col`` per the module contract."""
+    """Canonical form of ``col`` per the module contract.
+
+    A value with no ``scheme://`` (not a crawlable URL — data-table
+    keys like ``doc://123`` have one; raw hostnames do not) passes
+    through unchanged rather than canonicalizing to a degenerate
+    empty-ish string that would collide unrelated rows."""
     no_frag = f"regexp_replace({col}, '#.*', '')"
     auth = f"lower(regexp_extract({no_frag}, '^([^:/?#]+://[^/?#]*)', 1))"
     auth = f"regexp_replace({auth}, '://www\\\\.', '://')"
@@ -54,8 +59,9 @@ def canonical_url(col: str = "url") -> Column:
     )
     query = f"array_join(array_sort({keep}), '&')"
     return F.expr(
+        f"CASE WHEN {col} NOT RLIKE '^[^:/?#]+://' THEN {col} ELSE "
         f"concat({auth}, {path}, "
-        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END)"
+        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END) END"
     )
 
 

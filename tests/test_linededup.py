@@ -123,6 +123,9 @@ class TestUrlCanonical:
         ("http://sub.www.example.com/a", "http://sub.www.example.com/a"),
         ("https://example.com", "https://example.com"),
         ("https://example.com/?", "https://example.com"),
+        # no scheme -> not a crawlable URL: pass through unchanged
+        ("example.com/a?utm_source=x", "example.com/a?utm_source=x"),
+        ("doc://123", "doc://123"),
     ]
 
     def test_canonical_cases(self, spark):
@@ -261,3 +264,32 @@ class TestHygienePlans:
 
     def test_no_window_in_repetition_plan(self, docs):
         assert "Window" not in self._plan(repetition_stats(docs))
+
+
+class TestLineSkew:
+    """A boilerplate line carried by a huge share of the corpus (cookie
+    banner, 10^7 pages in a real crawl) must never pin one task: the
+    hot-line count is a two-level map-side-combinable groupBy and
+    membership is a join — never Window.partitionBy(line)."""
+
+    def test_megagroup_hot_line(self, spark):
+        hot = spark.range(20000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("Cookie banner shared everywhere\nunique body "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        out = strip_shared_lines(hot, min_docs=2)
+        from gnames_spark.plans.audit import physical_plan
+
+        assert "Window" not in physical_plan(out)
+        rows = out.agg(
+            F.count("*").alias("n"),
+            F.sum("n_shared_lines").alias("shared"),
+            F.sum(F.when(F.col("text").startswith("unique body"), 1)).alias("clean"),
+        ).collect()[0]
+        assert rows.n == 20000 and rows.shared == 20000 and rows.clean == 20000
+        # the hot line itself is ONE row in the shared-line aggregate
+        lines = explode_lines(hot)
+        assert shared_lines(lines, 2).count() == 1
