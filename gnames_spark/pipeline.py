@@ -216,6 +216,18 @@ class DedupPipeline:
                 df = latest_snapshot(df, ts_col="warc_ts", id_col="url").drop(
                     "canonical_url", "n_snapshots"
                 )
+            if (
+                cfg.strip_shared_lines_min_docs is not None
+                or cfg.max_dup_line_frac is not None
+                or cfg.max_top_gram_frac is not None
+            ):
+                # the line/repetition ops below reference df from
+                # several branches (lines, hot-line agg, join-back);
+                # cut lineage ONCE here so extraction (the most
+                # expensive map in the pipeline) and the source scan
+                # run once, not once per branch — the same
+                # localCheckpoint idiom as every stage boundary
+                df = df.localCheckpoint(eager=True)
             if cfg.strip_shared_lines_min_docs is not None:
                 from gnames_spark.operators.linededup import strip_shared_lines
 
