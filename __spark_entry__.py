@@ -393,6 +393,40 @@ def q_dedup_representatives(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_histogram(spark, sf_dir):
+    """Cluster-size distribution — the first report every dedup run
+    ships (how much of the corpus is singletons vs megaclusters, and
+    the dedup ratio they imply). Two stacked map-side-combinable
+    groupBys over the components table: size per cluster, then clusters
+    + docs + surviving-representative share per size. Pure aggregation:
+    at 10^12 docs the histogram has at most a few thousand rows."""
+    comps = q_dedup_components(spark, sf_dir)
+    sizes = comps.groupBy("component_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("size")).cast("long").alias("n_docs"),
+        F.round(F.lit(1.0) / F.col("size"), 6).alias("survival_rate"),
+    )
+
+
+def q_dedup_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing (operators/sampling.py): per-lang
+    keep rates via an md5-prefix uniform that any engine reproduces —
+    membership survives repartitioning, resume, and incremental
+    fold-in (F.rand(seed) survives none of those). The oracle
+    recomputes every per-row draw in DuckDB: the pair matching on the
+    exact kept set IS the determinism proof."""
+    from gnames_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1},
+        "lang",
+        salt="mix1",
+    )
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1404,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_url_snapshot": q_dedup_url_snapshot,
         "text_pii_scrub": q_text_pii_scrub,
+        "dedup_cluster_histogram": q_dedup_cluster_histogram,
+        "dedup_stratified_sample": q_dedup_stratified_sample,
     }
 
 
@@ -2120,6 +2156,25 @@ def oracle_sql() -> dict[str, str]:
             ) = 1
         """,
         "text_pii_scrub": _dk_pii_scrub_sql(),
+        "dedup_cluster_histogram": f"""
+            WITH comps AS ({_DK_COMPONENTS}),
+            sizes AS (
+              SELECT component_id, count(*) AS size FROM comps GROUP BY 1
+            )
+            SELECT size, count(*)::BIGINT AS n_clusters,
+                   (count(*) * size)::BIGINT AS n_docs,
+                   round(1.0 / size, 6) AS survival_rate
+            FROM sizes GROUP BY size
+        """,
+        "dedup_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE cast(('0x' || substr(md5(concat('mix1',
+                    cast(doc_id as varchar))), 1, 8)) as bigint)
+                  / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                              WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
+                              ELSE 0.0 END
+        """,
     }
 
 

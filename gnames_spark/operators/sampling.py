@@ -1,0 +1,70 @@
+"""Deterministic hash sampling — corpus mixing for training data.
+
+After dedup and quality gating, a training corpus is MIXED: keep 100%
+of one stratum, 30% of another (FineWeb/Dolma-style source and quality
+weighting). The sampler must be (a) deterministic — reruns, resumed
+checkpoints, and the incremental fold-in must all agree on every row;
+(b) engine-portable — an auditor recomputing membership elsewhere gets
+the same rows; (c) a pure filter — no shuffle, no state.
+
+``F.rand(seed)`` fails (a): it is seeded per partition index, so any
+repartition or source-split change reshuffles membership. Instead each
+row gets a uniform u in [0,1) from a cryptographic-hash prefix of
+(salt, key):
+
+    u = int(md5(salt || key)[:8 hex]) / 2^32
+
+md5's avalanche makes the 32-bit prefix uniform regardless of key
+structure (sequential ids included); 2^-32 granularity is far below
+any sampling-rate precision anyone configures. The salt decorrelates
+independent sampling decisions over the same keys (two mixes with
+different salts are independent events, same salt = same draw —
+exactly the reproducibility contract). md5 (not xxhash64) because the
+DuckDB/auditor side reproduces it verbatim — parity is pinned by the
+``dedup_stratified_sample`` driver oracle.
+
+Scale: everything here is a whole-stage-codegen filter over the scan —
+no Python, no shuffle, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_DENOM = float(1 << 32)
+
+
+def hash_uniform(key_col: str, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) per row: md5-prefix of (salt, key)."""
+    return (
+        F.expr(
+            f"cast(conv(substring(md5(concat('{salt}', "
+            f"cast({key_col} as string))), 1, 8), 16, 10) as bigint)"
+        )
+        / F.lit(HASH_DENOM)
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep each row independently with probability ``rate`` —
+    deterministically in (salt, key)."""
+    return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep rates (corpus mixing). Strata missing from
+    ``rates`` keep with ``default_rate`` (0.0 = drop unknown strata —
+    the safe default for an allowlist-style mix)."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, float(r)).otherwise(rate)
+    return df.filter(hash_uniform(key_col, salt) < rate)

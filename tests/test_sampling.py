@@ -1,0 +1,73 @@
+"""Deterministic hash sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnames_spark.operators.sampling import (
+    hash_sample,
+    hash_uniform,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("stratum"),
+    )
+
+
+class TestHashSampling:
+    def test_rate_is_respected(self, corpus):
+        n = hash_sample(corpus, 0.3, salt="s1").count()
+        assert abs(n / 10000 - 0.3) < 0.02  # binomial 3-sigma ~ 0.014
+
+    def test_deterministic_and_partition_invariant(self, corpus):
+        a = {r.doc_id for r in hash_sample(corpus, 0.25, salt="s1").collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(corpus.repartition(17), 0.25, salt="s1").collect()
+        }
+        assert a == b  # F.rand(seed) would fail this
+
+    def test_salt_decorrelates(self, corpus):
+        a = {r.doc_id for r in hash_sample(corpus, 0.5, salt="s1").collect()}
+        b = {r.doc_id for r in hash_sample(corpus, 0.5, salt="s2").collect()}
+        overlap = len(a & b) / 10000
+        assert abs(overlap - 0.25) < 0.03  # independent draws
+
+    def test_nested_rates(self, corpus):
+        # sampling at 0.5 then 0.2 of the sample (same salt family but
+        # different salts) ~= 0.1 overall
+        s = hash_sample(hash_sample(corpus, 0.5, salt="a"), 0.2, salt="b")
+        assert abs(s.count() / 10000 - 0.1) < 0.015
+
+    def test_stratified(self, corpus):
+        out = stratified_sample(
+            corpus, {"0": 1.0, "1": 0.5, "2": 0.0}, "stratum", salt="mix"
+        )
+        got = {
+            r.stratum: r.n
+            for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+        }
+        assert got["0"] == 2500  # rate 1.0 keeps everything
+        assert abs(got["1"] / 2500 - 0.5) < 0.04
+        assert "2" not in got  # rate 0.0
+        assert "3" not in got  # unknown stratum -> default 0.0
+
+    def test_pure_filter_plan(self, corpus):
+        plan = (
+            hash_sample(corpus, 0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_uniform_bounds(self, corpus):
+        row = corpus.select(
+            F.min(hash_uniform("doc_id")).alias("lo"),
+            F.max(hash_uniform("doc_id")).alias("hi"),
+        ).first()
+        assert 0.0 <= row.lo and row.hi < 1.0
