@@ -427,6 +427,21 @@ def q_dedup_stratified_sample(spark, sf_dir):
     )
 
 
+def q_text_chunking(spark, sf_dir):
+    """Training-window chunking (functions/chunking.py): overlapping
+    32-token windows at stride 24 — integer-exact window math, partial
+    tail kept, pure Catalyst explode (no Python, no shuffle)."""
+    from gnames_spark.functions.chunking import chunk_docs
+
+    out = chunk_docs(_docs(spark, sf_dir).select("doc_id", "text"), 32, 24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1440,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
         "dedup_stratified_sample": q_dedup_stratified_sample,
+        "text_chunking": q_text_chunking,
     }
 
 
@@ -2174,6 +2190,22 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
                               ELSE 0.0 END
+        """,
+        "text_chunking": f"""
+            WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+            w AS (
+              SELECT doc_id, toks, unnest(range(0,
+                CASE WHEN len(toks) = 0 THEN 0
+                     WHEN len(toks) <= 32 THEN 1
+                     ELSE 1 + ((len(toks) - 32 + 24 - 1) // 24) END)) AS cid
+              FROM t
+            )
+            SELECT doc_id, cid::BIGINT AS chunk_id,
+                   array_to_string(list_slice(toks, cid * 24 + 1,
+                                              cid * 24 + 32), ' ')
+                       AS chunk_text,
+                   least(32, len(toks) - cid * 24)::BIGINT AS n_tokens
+            FROM w
         """,
     }
 
