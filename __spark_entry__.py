@@ -442,6 +442,21 @@ def q_text_chunking(spark, sf_dir):
     )
 
 
+def q_text_unigram_surprisal(spark, sf_dir):
+    """CCNet-analog statistical quality score (operators/lm.py):
+    unigram model trained ON the corpus (map-side-combinable token
+    counts, capped vocab with deterministic tiebreak), every doc
+    scored by mean token surprisal. Float determinism is engineered,
+    not lucky: per-token ln rounded to 8 digits (kills cross-libm
+    noise), per-doc sum in DECIMAL (exact, order-independent), one
+    double divide at the end — the oracle recomputes the whole thing
+    in DuckDB and must match the hash."""
+    from gnames_spark.operators.lm import score_docs, train_unigram
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return score_docs(docs, train_unigram(docs))
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1456,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
         "dedup_stratified_sample": q_dedup_stratified_sample,
         "text_chunking": q_text_chunking,
+        "text_unigram_surprisal": q_text_unigram_surprisal,
     }
 
 
@@ -2206,6 +2222,30 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    least(32, len(toks) - cid * 24)::BIGINT AS n_tokens
             FROM w
+        """,
+        "text_unigram_surprisal": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents
+            ), counts AS (
+              SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), total AS (SELECT sum(c) AS total FROM counts),
+            model AS (
+              SELECT token, round(ln(c / total), 8) AS logp
+              FROM counts, total
+              QUALIFY row_number() OVER (ORDER BY c DESC, token ASC) <= 65536
+            ), scored AS (
+              SELECT doc_id,
+                     coalesce(m.logp, -20.0)::DECIMAL(28,12) AS logp
+              FROM tok LEFT JOIN model m USING (token)
+            ), agg AS (
+              SELECT doc_id, count(*) AS n, sum(logp) AS sl
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_tokens,
+                   CASE WHEN a.n > 0
+                        THEN round(-(a.sl::DOUBLE) / a.n, 6) END
+                       AS avg_neg_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }
 

@@ -1,0 +1,108 @@
+"""Corpus-trained unigram log-prob scoring (the perplexity-filter shape).
+
+CCNet ranks crawl text by language-model perplexity; the heuristic
+gates (textstats) catch structural junk, but gibberish with normal
+structure needs a statistical score. A full KenLM is a model artifact;
+the ENGINE capability is: train token statistics ON the corpus
+distributedly, then score every doc by its mean token surprisal
+(-ln p). Gibberish/OCR noise scores high, ordinary prose low — and the
+operator contract (train → broadcastable model table → scoring join →
+per-doc aggregate) is exactly what a higher-order n-gram LM would use.
+
+Determinism contract (this is a driver-oracle'd operator — floats must
+match an independent engine bit-for-bit after rounding):
+- each token's surprisal is ROUNDED to 8 digits first (libm ln()
+  differs across engines by <= 1 ulp ~ 1e-16 relative — far below
+  5e-9, so rounding makes both engines agree exactly);
+- the per-doc sum runs in DECIMAL(28,12) — decimal addition is exact
+  and order-independent, so partition order / combiner shape can never
+  flip a low bit the way a double sum can;
+- the mean is rounded to 6 digits at the end.
+
+Scale:
+- training is one map-side-combinable groupBy(token) over exploded
+  tokens; vocabulary is capped at ``max_vocab`` by frequency with a
+  deterministic token tiebreak — orderBy+limit over the (small)
+  distinct-token table compiles to TakeOrdered (per-partition top-k +
+  merge, never a full sort-shuffle); everything below the cap scores
+  as OOV at a configurable floor, the standard open-vocabulary
+  treatment.
+- scoring joins exploded tokens to the model on the token string; the
+  model side is tiny (<= max_vocab rows) so AQE broadcasts it; hot
+  tokens ("the" in half the corpus) are probe-side only.
+- no windows, no Python, no driver-side vocab collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gnames_spark.functions.shingles import tokens
+
+LOGP_DIGITS = 8     # pre-sum rounding: kills cross-libm ln() noise
+SCORE_DIGITS = 6    # final mean rounding
+DECIMAL_T = "decimal(28, 12)"
+
+
+def train_unigram(
+    docs: DataFrame, text_col: str = "text", max_vocab: int = 65536
+) -> DataFrame:
+    """Unigram model table: (token, logp) for the ``max_vocab`` most
+    frequent tokens (ties broken by token string, deterministically),
+    with logp = round(ln(count / total_tokens), 8). ``total`` counts
+    ALL tokens (in- and out-of-vocab), so probabilities are honest
+    MLE over the corpus, not renormalized over the kept vocab."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    # top-max_vocab by (count, token): rank via a single orderBy-limit
+    # over the (small) distinct-token table — at web scale the token
+    # table is << corpus size and this is the standard top-k take
+    kept = counts.orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
+    return kept.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("c") / F.col("total")), LOGP_DIGITS).alias("logp"),
+    )
+
+
+def score_docs(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = -20.0,
+) -> DataFrame:
+    """Per-doc mean token surprisal against a unigram model table.
+
+    Returns (id, n_tokens, avg_neg_logprob) — higher = more surprising
+    under the model. Docs with no tokens get n_tokens=0 and NULL score.
+    OOV tokens score at ``oov_logp`` (a floor ~e^-20 — rarer than any
+    in-vocab token can be at web scale)."""
+    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    scored = tok.join(F.broadcast(model), "token", "left").select(
+        id_col,
+        F.coalesce("logp", F.lit(round(oov_logp, LOGP_DIGITS)))
+        .cast(DECIMAL_T)
+        .alias("logp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("logp").alias("sum_logp"),
+    )
+    out = docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            # exact decimal sum -> ONE double cast -> ONE IEEE divide:
+            # both steps are bit-deterministic in any engine
+            F.round(
+                -F.col("sum_logp").cast("double") / F.col("n_tokens"),
+                SCORE_DIGITS,
+            ),
+        ).alias("avg_neg_logprob"),
+    )
+    return out

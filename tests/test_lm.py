@@ -1,0 +1,70 @@
+"""Corpus-trained unigram scoring (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnames_spark.operators.lm import score_docs, train_unigram
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zxqv qqzz vvxx zzzz glorp"),  # gibberish: every token rare
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestUnigramLM:
+    def test_model_probabilities(self, corpus):
+        model = {r.token: r.logp for r in train_unigram(corpus).collect()}
+        # 17 tokens total; 'the' appears 4x
+        assert model["the"] == round(math.log(4 / 17), 8)
+        assert model["cat"] == round(math.log(1 / 17), 8)
+        assert len(model) == 12  # distinct tokens
+
+    def test_vocab_cap_is_deterministic(self, corpus):
+        top = train_unigram(corpus, max_vocab=3).collect()
+        # 'the'(4), 'on'(2), 'sat'(2) — 'on' beats 'sat' by token tiebreak
+        assert {r.token for r in top} == {"the", "on", "sat"}
+
+    def test_gibberish_scores_higher(self, corpus):
+        model = train_unigram(corpus)
+        got = {r.doc_id: r for r in score_docs(corpus, model).collect()}
+        assert got[3].avg_neg_logprob > got[1].avg_neg_logprob
+        assert got[1].n_tokens == 6 and got[3].n_tokens == 5
+        assert got[4].n_tokens == 0 and got[4].avg_neg_logprob is None
+
+    def test_oov_floor(self, corpus, spark):
+        model = train_unigram(corpus, max_vocab=3)
+        unseen = spark.createDataFrame(
+            [(9, "totally unseen words here")], ["doc_id", "text"]
+        )
+        got = score_docs(unseen, model, oov_logp=-20.0).first()
+        assert got.avg_neg_logprob == 20.0  # every token OOV
+
+    def test_exact_mean_matches_python(self, corpus):
+        """The decimal-sum pipeline reproduces a sequential Python
+        computation digit-for-digit (the determinism contract)."""
+        model = {r.token: r.logp for r in train_unigram(corpus).collect()}
+        got = {r.doc_id: r.avg_neg_logprob
+               for r in score_docs(corpus, train_unigram(corpus)).collect()}
+        for doc_id, text in [(1, "the cat sat on the mat"),
+                             (3, "zxqv qqzz vvxx zzzz glorp")]:
+            toks = text.lower().split()
+            want = round(-sum(model[t] for t in toks) / len(toks), 6)
+            assert got[doc_id] == want
+
+    def test_no_python_in_plans(self, corpus):
+        model = train_unigram(corpus)
+        plan = (
+            score_docs(corpus, model)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Window" not in plan
