@@ -145,6 +145,12 @@ class DedupConfig:
     #      gates — DROP pages whose within-doc duplicate-line fraction
     #      or top-bigram fraction exceeds the bound
     #      (operators/repetition.py). None = off.
+    # Scope note: these run per prepare_docs call, so under
+    # run_incremental the snapshot collapse and shared-line counts are
+    # BATCH-local (a boilerplate line split across small increments may
+    # stay under min_docs per batch). Cross-batch boilerplate detection
+    # is the streaming screen's job (streaming_boilerplate_screen),
+    # whose state accumulates across micro-batches.
     #   4. redact_pii: replace e-mails/IPs/phone numbers with typed
     #      tokens (functions/pii.py) — AFTER the dedup-relevant
     #      cleaning but before hashing, so two pages differing only in

@@ -22,11 +22,16 @@ match an independent engine bit-for-bit after rounding):
 Scale:
 - training is one map-side-combinable groupBy(token) over exploded
   tokens; vocabulary is capped at ``max_vocab`` by frequency with a
-  deterministic token tiebreak — orderBy+limit over the (small)
-  distinct-token table compiles to TakeOrdered (per-partition top-k +
-  merge, never a full sort-shuffle); everything below the cap scores
-  as OOV at a configurable floor, the standard open-vocabulary
-  treatment.
+  deterministic token tiebreak. The top-k is NOT an orderBy+limit
+  (TakeOrdered merges k rows PER PARTITION at the driver — fine
+  locally, gigabytes at 10^5 partitions): instead the tiny
+  count-of-counts histogram (one groupBy over the token table,
+  thousands of rows for a Zipfian corpus) picks the frequency
+  threshold on the driver, tokens strictly above it pass by a pure
+  filter, and only the boundary-count TIE SET — bounded, typically a
+  sliver — goes through an orderBy+limit for the deterministic token
+  tiebreak. Everything below the cap scores as OOV at a configurable
+  floor, the standard open-vocabulary treatment.
 - scoring joins exploded tokens to the model on the token string; the
   model side is tiny (<= max_vocab rows) so AQE broadcasts it; hot
   tokens ("the" in half the corpus) are probe-side only.
@@ -44,6 +49,36 @@ SCORE_DIGITS = 6    # final mean rounding
 DECIMAL_T = "decimal(28, 12)"
 
 
+def _top_k_tokens(counts: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` (count desc, token asc) rows of a (token, c) table,
+    selected scale-safely: the count-of-counts histogram (tiny) picks
+    the threshold count on the driver; only the boundary-count tie set
+    is sorted. Result is identical to orderBy(c desc, token).limit(k)."""
+    hist = sorted(
+        (
+            (r["c"], r["n"])
+            for r in counts.groupBy("c").agg(F.count("*").alias("n")).collect()
+        ),
+        reverse=True,
+    )
+    taken = 0
+    threshold = None
+    for c_val, n in hist:
+        if taken + n > k:
+            threshold = c_val
+            break
+        taken += n
+    if threshold is None:  # fewer than k tokens in total
+        return counts
+    high = counts.filter(F.col("c") > threshold)
+    ties = (
+        counts.filter(F.col("c") == threshold)
+        .orderBy(F.asc("token"))
+        .limit(k - taken)
+    )
+    return high.unionByName(ties)
+
+
 def train_unigram(
     docs: DataFrame, text_col: str = "text", max_vocab: int = 65536
 ) -> DataFrame:
@@ -58,10 +93,7 @@ def train_unigram(
         .agg(F.count("*").alias("c"))
     )
     total = counts.agg(F.sum("c").alias("total"))
-    # top-max_vocab by (count, token): rank via a single orderBy-limit
-    # over the (small) distinct-token table — at web scale the token
-    # table is << corpus size and this is the standard top-k take
-    kept = counts.orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
+    kept = _top_k_tokens(counts, max_vocab)
     return kept.crossJoin(F.broadcast(total)).select(
         "token",
         F.round(F.log(F.col("c") / F.col("total")), LOGP_DIGITS).alias("logp"),
