@@ -191,6 +191,129 @@ class DedupPipeline:
         )
 
     # -- stages --------------------------------------------------------
+    def _apply_preclean(
+        self, df: DataFrame, audit: list | None = None
+    ) -> DataFrame:
+        """The config-gated hygiene chain (collapse → strip →
+        repetition gate → PII redaction), shared by prepare_docs and
+        preclean_report so the two can never drift. With ``audit``
+        (a list), each gate appends (gate, n_in, n_out, detail) —
+        counting costs extra jobs, so the pipeline path passes None
+        and pays nothing."""
+        cfg = self.cfg
+        auditing = audit is not None
+
+        def ckpt(d: DataFrame) -> DataFrame:
+            # audit mode counts between gates: checkpoint each boundary
+            # so a count never recomputes the gates before it
+            return d.localCheckpoint(eager=True) if auditing else d
+
+        if cfg.collapse_url_snapshots:
+            from gnames_spark.functions.urlnorm import latest_snapshot
+
+            if "warc_ts" not in df.columns:
+                raise ValueError("collapse_url_snapshots needs a warc_ts column")
+            n_in = df.count() if auditing else None
+            df = ckpt(
+                latest_snapshot(df, ts_col="warc_ts", id_col="url").drop(
+                    "canonical_url", "n_snapshots"
+                )
+            )
+            if auditing:
+                audit.append(
+                    ("collapse_url_snapshots", n_in, df.count(),
+                     "kept newest capture per canonical URL")
+                )
+        if (
+            cfg.strip_shared_lines_min_docs is not None
+            or cfg.max_dup_line_frac is not None
+            or cfg.max_top_gram_frac is not None
+        ) and not auditing:
+            # the line/repetition ops below reference df from several
+            # branches (lines, hot-line agg, join-back); cut lineage
+            # ONCE so extraction (the most expensive map in the
+            # pipeline) and the source scan run once, not per branch —
+            # the same localCheckpoint idiom as every stage boundary
+            df = df.localCheckpoint(eager=True)
+        if cfg.strip_shared_lines_min_docs is not None:
+            from gnames_spark.operators.linededup import strip_shared_lines
+
+            stripped = strip_shared_lines(
+                df, cfg.strip_shared_lines_min_docs, id_col="url"
+            )
+            if auditing:
+                n_in = df.count()
+                n_lines = stripped.agg(
+                    F.sum("n_shared_lines").alias("s")
+                ).collect()[0]["s"] or 0
+            df = ckpt(stripped.drop("n_lines", "n_shared_lines"))
+            if auditing:
+                audit.append(
+                    ("strip_shared_lines", n_in, df.count(),
+                     f"{n_lines} boilerplate line occurrences removed")
+                )
+        if cfg.max_dup_line_frac is not None or cfg.max_top_gram_frac is not None:
+            from gnames_spark.operators.repetition import repetition_stats
+
+            n_in = df.count() if auditing else None
+            stats = repetition_stats(df, id_col="url").select(
+                "url", "dup_line_frac", "top_gram_frac"
+            )
+            df = ckpt(
+                df.join(stats, "url", "left").filter(
+                    (F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+                     <= (cfg.max_dup_line_frac if cfg.max_dup_line_frac is not None else 1.0))
+                    & (F.coalesce(F.col("top_gram_frac"), F.lit(0.0))
+                       <= (cfg.max_top_gram_frac if cfg.max_top_gram_frac is not None else 1.0))
+                ).drop("dup_line_frac", "top_gram_frac")
+            )
+            if auditing:
+                audit.append(
+                    ("repetition_gate", n_in, df.count(),
+                     f"dup_line_frac <= {cfg.max_dup_line_frac}, "
+                     f"top_gram_frac <= {cfg.max_top_gram_frac}")
+                )
+        if cfg.redact_pii:
+            from gnames_spark.functions.pii import redact_pii
+
+            if auditing:
+                n_in = df.count()
+                red = ckpt(df.withColumn("_redacted", redact_pii("text")))
+                touched = red.filter(F.col("_redacted") != F.col("text")).count()
+                df = red.drop("text").withColumnRenamed("_redacted", "text")
+                audit.append(
+                    ("redact_pii", n_in, n_in, f"{touched} docs had PII redacted")
+                )
+            else:
+                df = df.withColumn("text", redact_pii("text"))
+        return df
+
+    def preclean_report(self, pages: DataFrame) -> DataFrame:
+        """Diagnostic: per-gate (gate, n_in, n_out, detail) for the
+        configured hygiene gates over these pages — the operational
+        'what did each gate cost me' report, without running the dedup
+        stages. Runs the EXACT chain prepare_docs runs (shared code
+        path; tests pin the final count against prepare_docs)."""
+        df = pages
+        if "html" in df.columns:
+            df = df.withColumn("text", extract_text("html")).drop("html")
+        df = df.localCheckpoint(eager=True)
+        audit: list = []
+        out = self._apply_preclean(df, audit)
+        if self.cfg.lang_filter is not None:
+            n_in = out.count()
+            kept = out.filter(F.col("lang") == self.cfg.lang_filter)
+            audit.append(
+                ("lang_filter", n_in, kept.count(),
+                 f"lang == {self.cfg.lang_filter}")
+            )
+        if not audit:
+            n = df.count()
+            audit.append(("no_gates_configured", n, n, ""))
+        return self.spark.createDataFrame(
+            audit, "gate string, n_in long, n_out long, detail string"
+        )
+
     def prepare_docs(self, pages: DataFrame) -> DataFrame:
         """pages(url, html[, text]) → docs(doc_id, url, text, lang,
         content_sha, n_chars). html is extracted then DROPPED.
@@ -206,50 +329,7 @@ class DedupPipeline:
             df = pages
             if "html" in df.columns:
                 df = df.withColumn("text", extract_text("html")).drop("html")
-            if cfg.collapse_url_snapshots:
-                from gnames_spark.functions.urlnorm import latest_snapshot
-
-                if "warc_ts" not in df.columns:
-                    raise ValueError(
-                        "collapse_url_snapshots needs a warc_ts column"
-                    )
-                df = latest_snapshot(df, ts_col="warc_ts", id_col="url").drop(
-                    "canonical_url", "n_snapshots"
-                )
-            if (
-                cfg.strip_shared_lines_min_docs is not None
-                or cfg.max_dup_line_frac is not None
-                or cfg.max_top_gram_frac is not None
-            ):
-                # the line/repetition ops below reference df from
-                # several branches (lines, hot-line agg, join-back);
-                # cut lineage ONCE here so extraction (the most
-                # expensive map in the pipeline) and the source scan
-                # run once, not once per branch — the same
-                # localCheckpoint idiom as every stage boundary
-                df = df.localCheckpoint(eager=True)
-            if cfg.strip_shared_lines_min_docs is not None:
-                from gnames_spark.operators.linededup import strip_shared_lines
-
-                df = strip_shared_lines(
-                    df, cfg.strip_shared_lines_min_docs, id_col="url"
-                ).drop("n_lines", "n_shared_lines")
-            if cfg.max_dup_line_frac is not None or cfg.max_top_gram_frac is not None:
-                from gnames_spark.operators.repetition import repetition_stats
-
-                stats = repetition_stats(df, id_col="url").select(
-                    "url", "dup_line_frac", "top_gram_frac"
-                )
-                df = df.join(stats, "url", "left").filter(
-                    (F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
-                     <= (cfg.max_dup_line_frac if cfg.max_dup_line_frac is not None else 1.0))
-                    & (F.coalesce(F.col("top_gram_frac"), F.lit(0.0))
-                       <= (cfg.max_top_gram_frac if cfg.max_top_gram_frac is not None else 1.0))
-                ).drop("dup_line_frac", "top_gram_frac")
-            if cfg.redact_pii:
-                from gnames_spark.functions.pii import redact_pii
-
-                df = df.withColumn("text", redact_pii("text"))
+            df = self._apply_preclean(df)
             if cfg.lang_filter is not None:
                 df = df.filter(F.col("lang") == cfg.lang_filter)
             if "doc_id" not in df.columns:

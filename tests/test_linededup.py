@@ -293,3 +293,44 @@ class TestLineSkew:
         # the hot line itself is ONE row in the shared-line aggregate
         lines = explode_lines(hot)
         assert shared_lines(lines, 2).count() == 1
+
+
+class TestPrecleanReport:
+    def test_report_matches_prepare(self, spark):
+        from gnames_spark.config import DedupConfig
+        from gnames_spark.pipeline import DedupPipeline
+
+        cfg = DedupConfig(
+            shuffle_partitions=4,
+            collapse_url_snapshots=True,
+            strip_shared_lines_min_docs=3,
+            max_dup_line_frac=0.5,
+            redact_pii=True,
+        )
+        pages = TestPreClean()._pages(spark)
+        pipe = DedupPipeline(spark, cfg)
+        report = pipe.preclean_report(pages).collect()
+        gates = [(r.gate, r.n_in, r.n_out) for r in report]
+        assert gates == [
+            ("collapse_url_snapshots", 6, 5),
+            ("strip_shared_lines", 5, 5),
+            ("repetition_gate", 5, 4),
+            ("redact_pii", 4, 4),
+        ]
+        # strip detail: BOIL carried by a-new, b, c -> 3 occurrences
+        assert "3 boilerplate line occurrences" in report[1].detail
+        # no-drift pin: the report's final survivor count equals what
+        # prepare_docs actually produces under the same config
+        assert pipe.prepare_docs(pages).count() == gates[-1][2]
+
+    def test_report_no_gates(self, spark):
+        from gnames_spark.config import DedupConfig
+        from gnames_spark.pipeline import DedupPipeline
+
+        pages = TestPreClean()._pages(spark)
+        rows = DedupPipeline(
+            spark, DedupConfig(shuffle_partitions=4)
+        ).preclean_report(pages).collect()
+        assert [(r.gate, r.n_in, r.n_out) for r in rows] == [
+            ("no_gates_configured", 6, 6)
+        ]
