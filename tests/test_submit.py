@@ -99,6 +99,9 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
         "--output", str(out),
         "--shuffle-partitions", "4",
         "--no-substring",
+        # hygiene gate wiring through the real submit path (the
+        # synthetic corpus has no PII, so outputs are unchanged)
+        "--redact-pii",
     ]
     proc = subprocess.run(
         cmd, cwd=tmp_path, env=env, capture_output=True, text=True,
@@ -122,6 +125,7 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert run_files, "run manifest missing"
     doc = json.loads(open(out / "run" / run_files[0]).read())
     assert doc["config"]["shuffle_partitions"] == 4
+    assert doc["config"]["redact_pii"] is True
     assert any(s["stage"] == "components" for s in doc["stages"])
     # submit-line --conf beat the library default; untouched tuning
     # confs kept the library defaults
