@@ -18,9 +18,9 @@ Scale design (the part that must survive 10^12 docs):
 - Lines shuffle as ``xxhash64(line)`` keys, never as strings — the
   count aggregation ships 16 bytes/row and is map-side combinable.
 - No windows anywhere. The hot-line count is a ``groupBy(line_hash)``
-  agg; membership is decided by an anti join AGAINST that aggregate,
+  agg; membership is decided by a left join AGAINST that aggregate,
   so a line shared by 10^7 docs costs one combiner cell, not one task.
-- The anti join's build side (hot lines) is the small side by
+- The membership join's build side (hot lines) is the small side by
   construction at sane ``min_docs``; AQE picks broadcast when it fits
   and splits probe-side skew when it does not.
 - Reassembly is a per-doc ``collect_list`` of that doc's own surviving
@@ -50,7 +50,8 @@ def explode_lines(
     ``line_no`` is the 0-based position among the doc's RAW splits, so
     reassembly preserves the original relative order of kept lines.
     Empty/whitespace-only lines are dropped (they carry no content and
-    would otherwise all collide into one mega hot key).
+    would otherwise all collide into one mega hot key). ``delim`` is a
+    Java regex (the default ``\\n`` is literal).
     """
     split_col = F.split(F.col(text_col), F.lit(delim), -1)
     return (
@@ -91,7 +92,9 @@ def strip_shared_lines(
     lines (original order, ``delim``-joined; '' when every line was
     boilerplate), plus per-doc audit counts (n_lines, n_shared_lines).
     Docs whose text had no non-empty lines pass through unchanged with
-    zero counts.
+    zero counts. Like the C4 recipe, the rewrite normalizes line
+    whitespace as a side effect: kept lines are trimmed and blank
+    lines dropped (tests pin this contract).
     """
     lines = explode_lines(docs, text_col, id_col, delim)
     hot = shared_lines(lines, min_docs, id_col).select("line_hash")

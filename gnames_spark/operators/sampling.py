@@ -29,13 +29,22 @@ no Python, no shuffle, no driver state.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 HASH_DENOM = float(1 << 32)
+_SALT_RE = re.compile(r"[A-Za-z0-9._:-]*\Z")
 
 
 def hash_uniform(key_col: str, salt: str = "") -> Column:
-    """Deterministic uniform [0,1) per row: md5-prefix of (salt, key)."""
+    """Deterministic uniform [0,1) per row: md5-prefix of (salt, key).
+
+    ``salt`` is restricted to [A-Za-z0-9._:-] — it is spliced into a
+    SQL literal, and a run/date tag never needs more.
+    """
+    if not _SALT_RE.match(salt):
+        raise ValueError(f"salt must match [A-Za-z0-9._:-]*: {salt!r}")
     return (
         F.expr(
             f"cast(conv(substring(md5(concat('{salt}', "

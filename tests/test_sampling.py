@@ -71,3 +71,7 @@ class TestHashSampling:
             F.max(hash_uniform("doc_id")).alias("hi"),
         ).first()
         assert 0.0 <= row.lo and row.hi < 1.0
+
+    def test_salt_validation(self, corpus):
+        with pytest.raises(ValueError):
+            hash_uniform("doc_id", "bad'salt")
