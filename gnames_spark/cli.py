@@ -127,6 +127,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--redact-pii", action="store_true",
                    help="replace e-mails/IPs/phone numbers with typed "
                         "tokens before hashing (functions/pii.py)")
+    p.add_argument("--preclean-report", action="store_true",
+                   help="dry-run the configured hygiene gates over "
+                        "--input, print + write the per-gate "
+                        "(n_in, n_out, detail) audit to "
+                        "<output>/preclean_report, and exit without "
+                        "running the dedup stages")
     return p
 
 
@@ -188,6 +194,16 @@ def main(argv: list[str] | None = None) -> int:
         cc_checkpoint_rounds=args.cc_checkpoint_rounds,
         route_overflow_to_lcs=args.route_overflow_to_lcs,
     )
+    if args.preclean_report:
+        report = pipe.preclean_report(pages)
+        rows = report.collect()
+        for r in rows:
+            print(f"{r.gate}: {r.n_in} -> {r.n_out}  ({r.detail})")
+        report.coalesce(1).write.mode("overwrite").json(
+            args.output.rstrip("/") + "/preclean_report"
+        )
+        return 0
+
     if args.remove:
         from gnames_spark.operators.incremental import (
             remove_docs,

@@ -334,3 +334,29 @@ class TestPrecleanReport:
         assert [(r.gate, r.n_in, r.n_out) for r in rows] == [
             ("no_gates_configured", 6, 6)
         ]
+
+
+class TestPrecleanReportCLI:
+    def test_cli_report_mode(self, spark, tmp_path):
+        import glob
+        import json as _json
+
+        from gnames_spark.cli import main
+
+        src = str(tmp_path / "pages")
+        TestPreClean()._pages(spark).write.parquet(src)
+        out = str(tmp_path / "out")
+        rc = main([
+            "--input", src, "--output", out, "--preclean-report",
+            "--collapse-url-snapshots", "--strip-shared-lines-min-docs", "3",
+            "--max-dup-line-frac", "0.5", "--shuffle-partitions", "4",
+        ])
+        assert rc == 0
+        parts = glob.glob(out + "/preclean_report/part-*")
+        assert parts
+        rows = [_json.loads(line) for p in parts for line in open(p)]
+        gates = {r["gate"]: (r["n_in"], r["n_out"]) for r in rows}
+        assert gates["collapse_url_snapshots"] == (6, 5)
+        assert gates["repetition_gate"] == (5, 4)
+        # report mode never runs the dedup stages
+        assert not glob.glob(out + "/components*")
