@@ -457,6 +457,17 @@ def q_text_unigram_surprisal(spark, sf_dir):
     return score_docs(docs, train_unigram(docs))
 
 
+def q_text_tfidf_keywords(spark, sf_dir):
+    """Per-doc tf-idf keywords (operators/lm.py tfidf_keywords): the
+    standard doc-vs-corpus term contrast, top-3 per doc with the same
+    determinism recipe as the surprisal score (idf rounded to 8
+    digits, score to 6, term-string tiebreak). The per-doc window is
+    bounded by doc vocabulary — the o6 top-k-per-group shape."""
+    from gnames_spark.operators.lm import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1472,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stratified_sample": q_dedup_stratified_sample,
         "text_chunking": q_text_chunking,
         "text_unigram_surprisal": q_text_unigram_surprisal,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
     }
 
 
@@ -2246,6 +2258,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(-(a.sl::DOUBLE) / a.n, 6) END
                        AS avg_neg_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_tfidf_keywords": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, token AS term,
+                     round(tf * round(ln(n::DOUBLE / df), 8), 6) AS score
+              FROM tf JOIN dft USING (token), n
+            )
+            SELECT doc_id, term, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+              )::BIGINT AS rank FROM scored
+            ) WHERE rank <= 3
         """,
     }
 

@@ -138,3 +138,52 @@ def score_docs(
         ).alias("avg_neg_logprob"),
     )
     return out
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` tf-idf keywords per doc: (id, term, score, rank).
+
+    The corpus-statistics sibling of :func:`score_docs` — surprisal
+    ranks DOCS by the model, tf-idf ranks TERMS by the doc-vs-corpus
+    contrast (the standard keyword/topic signal a curation pipeline
+    logs per document). Same determinism recipe: idf = round(ln(N/df),
+    8) so cross-libm ln noise dies, score = round(tf * idf, 6), ties
+    broken by term string.
+
+    Scale: tf is a (doc, token) groupBy (bounded groups — doc
+    vocabulary); df reuses the tf table, so it is exact
+    distinct-docs-per-token with no extra distinct; the per-doc top-k
+    window partitions on the doc id — bounded by doc vocabulary, the
+    same shape as the o6 top-k-per-group operator. The idf join ships
+    (token, df) only; hot tokens are probe-side.
+    """
+    from pyspark.sql import Window as W
+
+    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            F.col("token").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("n") / F.col("df")), LOGP_DIGITS),
+                SCORE_DIGITS,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -68,3 +68,40 @@ class TestUnigramLM:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "Window" not in plan
+
+
+class TestTfidfKeywords:
+    def test_keywords_rank_distinctive_terms(self, spark):
+        from gnames_spark.operators.lm import tfidf_keywords
+
+        rows = [
+            (1, "common common common zebra zebra unique"),
+            (2, "common words everywhere common words"),
+            (3, "common words again and again"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = tfidf_keywords(docs, k=2).collect()
+        got = {(r.doc_id, r.rank): (r.term, r.score) for r in out}
+        import math
+        idf = lambda df: round(math.log(3 / df), 8)
+        # doc 1: zebra tf=2 df=1 beats common tf=3 df=3 (idf 0)
+        assert got[(1, 1)][0] == "zebra"
+        assert got[(1, 1)][1] == round(2 * idf(1), 6)
+        assert got[(1, 2)][0] == "unique"
+        # 'common' appears in all docs -> idf 0 -> never a keyword above
+        # any df<3 term with tf >= 1
+        assert all(t != "common" or s == 0.0 for t, s in got.values())
+        # exactly k rows per doc with ranks 1..k
+        ranks = {}
+        for (d, r), _ in got.items():
+            ranks.setdefault(d, []).append(r)
+        assert all(sorted(v) == [1, 2] for v in ranks.values())
+
+    def test_tie_break_by_term(self, spark):
+        from gnames_spark.operators.lm import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "bb aa"), (2, "cc dd")], ["doc_id", "text"]
+        )
+        out = {(r.doc_id, r.rank): r.term for r in tfidf_keywords(docs, 2).collect()}
+        assert out[(1, 1)] == "aa" and out[(1, 2)] == "bb"
