@@ -468,6 +468,30 @@ def q_text_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
 
 
+def q_text_script_profile(spark, sf_dir):
+    """Unicode script profile (textstats.script_counts/
+    dominant_script): per-char script counts + deterministic dominant
+    script over deterministically script-mixed text (CJK/Cyrillic/
+    Arabic snippets injected by doc_id). Script classes are the rare
+    regex feature with byte-identical Java (\\p{IsHan}) and RE2
+    (\\p{Han}) semantics, so the whole profile sits under the oracle."""
+    from gnames_spark.functions.textstats import dominant_script, script_counts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            "CASE WHEN doc_id % 3 = 0 THEN ' 你好世界和平' ELSE '' END,"
+            "CASE WHEN doc_id % 4 = 0 THEN ' привет мир' ELSE '' END,"
+            "CASE WHEN doc_id % 5 = 0 THEN ' مرحبا' ELSE '' END)"
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id", *script_counts("text"),
+        dominant_script("text").alias("dominant_script"),
+    )
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1484,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "text_unigram_surprisal": q_text_unigram_surprisal,
         "text_tfidf_keywords": q_text_tfidf_keywords,
+        "text_script_profile": q_text_script_profile,
     }
 
 
@@ -2277,6 +2302,34 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY score DESC, term ASC
               )::BIGINT AS rank FROM scored
             ) WHERE rank <= 3
+        """,
+        # dominant tiebreak mirrors array_max over (hits, name) structs:
+        # lexically greatest name wins -> latin > han > cyrillic > arabic
+        "text_script_profile": """
+            WITH s AS (
+              SELECT doc_id, concat(text,
+                CASE WHEN doc_id % 3 = 0 THEN ' 你好世界和平' ELSE '' END,
+                CASE WHEN doc_id % 4 = 0 THEN ' привет мир' ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN ' مرحبا' ELSE '' END) AS text
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\\p{Arabic}'))::BIGINT AS n_arabic,
+                len(regexp_extract_all(text, '\\p{Cyrillic}'))::BIGINT AS n_cyrillic,
+                len(regexp_extract_all(text, '\\p{Han}'))::BIGINT AS n_han,
+                len(regexp_extract_all(text, '\\p{Latin}'))::BIGINT AS n_latin
+              FROM s
+            )
+            SELECT doc_id, n_arabic, n_cyrillic, n_han, n_latin,
+              CASE
+                WHEN greatest(n_arabic, n_cyrillic, n_han, n_latin) = 0
+                  THEN 'none'
+                WHEN n_latin >= n_han AND n_latin >= n_cyrillic
+                     AND n_latin >= n_arabic THEN 'latin'
+                WHEN n_han >= n_cyrillic AND n_han >= n_arabic THEN 'han'
+                WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+                ELSE 'arabic' END AS dominant_script
+            FROM c
         """,
     }
 

@@ -114,3 +114,40 @@ def rolling_fingerprint(col: str = "text", window: int = 16) -> Column:
     from gnames_spark.functions.fingerprint import fingerprint
 
     return fingerprint(col, window=window)
+
+
+# Unicode script profiling — multilingual curation needs to know WHAT
+# script a page is in before any language-level decision (a CJK page
+# through a Latin-stopword langid is noise). Script classes are the
+# rare regex feature that is byte-identical between Java regex
+# (\p{IsHan}) and RE2 (\p{Han}), so the whole profile sits under the
+# DuckDB oracle. Counts are per CHARACTER of the given script; the
+# dominant script uses the same deterministic argmax shape as
+# langid_heuristic (lexically greatest name wins ties).
+SCRIPT_CLASSES = {
+    "arabic": "IsArabic",
+    "cyrillic": "IsCyrillic",
+    "han": "IsHan",
+    "latin": "IsLatin",
+}
+
+
+def script_counts(col: str = "text") -> list[Column]:
+    return [
+        F.expr(f"regexp_count({col}, '\\\\p{{{cls}}}')")
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, cls in sorted(SCRIPT_CLASSES.items())
+    ]
+
+
+def dominant_script(col: str = "text") -> Column:
+    scored = [
+        F.struct(
+            F.expr(f"regexp_count({col}, '\\\\p{{{cls}}}')").alias("hits"),
+            F.lit(name).alias("script"),
+        )
+        for name, cls in sorted(SCRIPT_CLASSES.items())
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["script"]).otherwise(F.lit("none"))

@@ -105,3 +105,37 @@ class TestTfidfKeywords:
         )
         out = {(r.doc_id, r.rank): r.term for r in tfidf_keywords(docs, 2).collect()}
         assert out[(1, 1)] == "aa" and out[(1, 2)] == "bb"
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        from gnames_spark.functions.textstats import dominant_script, script_counts
+
+        rows = [
+            (1, "hello world"),
+            (2, "привет мир hello"),
+            (3, "你好世界"),
+            (4, "مرحبا بالعالم"),
+            (5, "123 --- !!!"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id", *script_counts("text"),
+                dominant_script("text").alias("dom"),
+            ).collect()
+        }
+        assert out[1].n_latin == 10 and out[1].dom == "latin"
+        assert out[2].n_cyrillic == 9 and out[2].n_latin == 5
+        assert out[2].dom == "cyrillic"
+        assert out[3].n_han == 4 and out[3].dom == "han"
+        assert out[4].dom == "arabic"
+        assert out[5].dom == "none"
+
+    def test_tie_breaks_lexically_greatest(self, spark):
+        from gnames_spark.functions.textstats import dominant_script
+
+        df = spark.createDataFrame([(1, "ab мк")], ["doc_id", "text"])
+        # latin 2 vs cyrillic 2 -> 'latin' > 'cyrillic' lexically
+        assert df.select(dominant_script("text")).first()[0] == "latin"
