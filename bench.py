@@ -63,10 +63,12 @@ def _bench_queries(spark, sf_dir):
         "text_token_counts",
         "text_fingerprint",
         "s6_faceted_search",
-        # round-3 late additions (crawl hygiene): line-granular
-        # boilerplate dedup + URL snapshot collapse
+        # round-3 late additions (crawl hygiene + corpus statistics):
+        # line-granular boilerplate dedup, URL snapshot collapse, and
+        # the two-pass corpus-trained surprisal score
         "dedup_line_dedup",
         "dedup_url_snapshot",
+        "text_unigram_surprisal",
     ]
     timings: dict[str, float] = {}
     for name in picked:
