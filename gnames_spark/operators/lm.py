@@ -91,6 +91,10 @@ def train_unigram(
         docs.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
+        # consumed three times (histogram, threshold filters, total):
+        # materialize the small vocab table once instead of re-running
+        # the corpus-wide explode+groupBy per consumer
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("c").alias("total"))
     kept = _top_k_tokens(counts, max_vocab)
