@@ -492,6 +492,31 @@ def q_text_script_profile(spark, sf_dir):
     )
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    """The Gopher per-document quality-rule battery
+    (functions/gopherrules.py — Rae et al. 2021 table A1: word count,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stop-word floor) over deterministically
+    perturbed corpus text (symbol stuffing + bullet/ellipsis lines
+    injected by doc_id so every rule fires somewhere). One
+    whole-stage-codegen pass: per-row array math, no explode, no
+    shuffle; the oracle recomputes all seven rules and the
+    fail-reason list in DuckDB."""
+    from gnames_spark.functions.gopherrules import gopher_quality
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            "CASE WHEN doc_id % 6 = 0 THEN ' ### ... more ...' ELSE '' END,"
+            "CASE WHEN doc_id % 7 = 0 THEN concat(char(10), "
+            "'• bullet item', char(10), 'trailing thought...') "
+            "ELSE '' END)"
+        ).alias("text"),
+    )
+    return gopher_quality(docs)
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1509,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": q_text_unigram_surprisal,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "text_script_profile": q_text_script_profile,
+        "text_gopher_quality": q_text_gopher_quality,
     }
 
 
@@ -1607,6 +1633,75 @@ def _dk_pii_scrub_sql() -> str:
         SELECT doc_id, ne::BIGINT AS n_emails, ni::BIGINT AS n_ips,
                np::BIGINT AS n_phones, md5(t) AS redacted_md5
         FROM r3
+    """
+
+
+def _dk_gopher_quality_sql() -> str:
+    """DuckDB mirror of functions/gopherrules.gopher_quality over the
+    same deterministic doc_id-keyed text perturbations."""
+    stop = "('the','be','to','of','and','that','have','with')"
+    return f"""
+        WITH s AS (
+          SELECT doc_id, concat(text,
+            CASE WHEN doc_id % 6 = 0 THEN ' ### ... more ...' ELSE '' END,
+            CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),
+              '• bullet item', chr(10), 'trailing thought...')
+            ELSE '' END) AS text
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            {_DK_TOKS} AS ws,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       l -> trim(l)), l -> l != '') AS ls
+          FROM s
+        ), r AS (
+          SELECT doc_id,
+            len(ws)::BIGINT AS n_words,
+            CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE
+                    / len(ws), 6) END AS mean_word_len,
+            CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              round(len(list_filter(ws, t -> regexp_matches(t, '#')
+                    OR regexp_matches(t, '\\.\\.\\.')
+                    OR regexp_matches(t, '…')))::DOUBLE
+                    / len(ws), 6) END AS symbol_ratio,
+            CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+              round(len(list_filter(ls, l ->
+                    regexp_matches(l, '^([•‣◦*-] )')))::DOUBLE
+                    / len(ls), 6) END AS bullet_line_frac,
+            CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+              round(len(list_filter(ls, l ->
+                    regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE
+                    / len(ls), 6) END AS ellipsis_line_frac,
+            CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              round(len(list_filter(ws, t ->
+                    regexp_matches(t, '\\p{{L}}')))::DOUBLE
+                    / len(ws), 6) END AS alpha_word_frac,
+            len(list_filter(ws, t -> t IN {stop}))::BIGINT AS n_stopwords
+          FROM m
+        ), v AS (
+          SELECT *,
+            list_sort(list_filter([
+              CASE WHEN n_words BETWEEN 50 AND 100000 THEN ''
+                   ELSE 'word_count' END,
+              CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN ''
+                   ELSE 'mean_word_len' END,
+              CASE WHEN symbol_ratio <= 0.1 THEN '' ELSE 'symbol_ratio' END,
+              CASE WHEN bullet_line_frac <= 0.9 THEN ''
+                   ELSE 'bullet_lines' END,
+              CASE WHEN ellipsis_line_frac <= 0.3 THEN ''
+                   ELSE 'ellipsis_lines' END,
+              CASE WHEN alpha_word_frac >= 0.8 THEN '' ELSE 'alpha_words' END,
+              CASE WHEN n_stopwords >= 2 THEN '' ELSE 'stopwords' END
+            ], x -> x != '')) AS fails
+          FROM r
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_stopwords,
+               (len(fails) = 0) AS passes,
+               coalesce(array_to_string(fails, ','), '') AS fail_reasons
+        FROM v
     """
 
 
@@ -2331,6 +2426,7 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'arabic' END AS dominant_script
             FROM c
         """,
+        "text_gopher_quality": _dk_gopher_quality_sql(),
     }
 
 
