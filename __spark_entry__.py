@@ -517,6 +517,18 @@ def q_text_gopher_quality(spark, sf_dir):
     return gopher_quality(docs)
 
 
+def q_text_dup_ngrams(spark, sf_dir):
+    """The character-weighted Gopher repetition signal
+    (operators/repetition.dup_ngram_stats): fraction of 5-gram
+    characters inside within-doc duplicate 5-grams — completes the
+    published repetition family next to dup-line and top-bigram
+    fractions. Stacked (doc, gram) → (doc) map-side-combinable
+    groupBys, bounded groups, no Python."""
+    from gnames_spark.operators.repetition import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(spark, sf_dir).select("doc_id", "text"), n=5)
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1535,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "text_script_profile": q_text_script_profile,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_dup_ngrams": q_text_dup_ngrams,
     }
 
 
@@ -2427,6 +2440,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "text_gopher_quality": _dk_gopher_quality_sql(),
+        "text_dup_ngrams": f"""
+            WITH g AS (
+              SELECT doc_id, unnest(
+                list_transform(range(1, greatest(len({_DK_TOKS}) - 4, 0) + 1),
+                  i -> array_to_string(list_slice({_DK_TOKS}, i, i + 4), ' '))
+              ) AS gram FROM documents
+            ), pg AS (
+              SELECT doc_id, gram, count(*) AS c, length(gram) AS L
+              FROM g GROUP BY doc_id, gram
+            ), agg AS (
+              SELECT doc_id, sum(c) AS n_grams,
+                     sum(c * L) AS chars,
+                     sum(CASE WHEN c >= 2 THEN c * L ELSE 0 END) AS dup_chars
+              FROM pg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0)::BIGINT AS n_grams,
+                   round(coalesce(dup_chars, 0)::DOUBLE
+                         / greatest(coalesce(chars, 0), 1), 6)
+                       AS dup_gram_char_frac
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
     }
 
 

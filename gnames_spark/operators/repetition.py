@@ -100,3 +100,50 @@ def repetition_stats(
             | (F.col("top_gram_frac") > top_ngram_max),
         )
     )
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The character-weighted Gopher repetition signal: fraction of
+    n-gram characters belonging to n-grams that occur more than once
+    WITHIN the doc (table A1's "fraction of characters in duplicate
+    n-grams", n = 5..10; :func:`repetition_stats`' top-bigram fraction
+    is the companion top-n-gram family).
+
+    Per doc: (id, n_grams, dup_gram_char_frac) where the fraction is
+    sum(len(g) * count(g)) over grams with count >= 2, divided by
+    sum(len(g) * count(g)) over all grams — rounded to 6 digits. Same
+    skew posture as the rest of the module: (doc, gram) → (doc)
+    stacked map-side-combinable groupBys, group sizes bounded by doc
+    length, no Python."""
+    grams = docs.select(
+        id_col, F.explode(shingle_strings(text_col, n)).alias("gram")
+    )
+    per_gram = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .withColumn("L", F.length("gram"))
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.col("c") * F.col("L")).alias("chars"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("L")).otherwise(0))
+        .alias("dup_chars"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest(F.coalesce("chars", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_gram_char_frac"),
+        )
+    )

@@ -360,3 +360,25 @@ class TestPrecleanReportCLI:
         assert gates["repetition_gate"] == (5, 4)
         # report mode never runs the dedup stages
         assert not glob.glob(out + "/components*")
+
+
+class TestDupNgramChars:
+    def test_char_weighted_fraction(self, spark):
+        from gnames_spark.operators.repetition import dup_ngram_stats
+
+        rows = [
+            # "a b c d e" repeated: the repeated region dominates
+            (1, "a b c d e a b c d e a b c d e"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "xy"),   # shorter than n tokens -> no grams
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r for r in dup_ngram_stats(docs, n=5).collect()}
+        # doc 1: 11 5-grams over a 5-periodic sequence -> every gram is
+        # one of 5 rotations; 15 tokens => 11 windows, each rotation
+        # appears 2-3 times, so EVERY gram char is in a duplicate gram
+        assert out[1].n_grams == 11 and out[1].dup_gram_char_frac == 1.0
+        # doc 2: all grams unique
+        assert out[2].n_grams == 6 and out[2].dup_gram_char_frac == 0.0
+        # doc 3: no grams at all
+        assert out[3].n_grams == 0 and out[3].dup_gram_char_frac == 0.0
