@@ -529,6 +529,25 @@ def q_text_dup_ngrams(spark, sf_dir):
     return dup_ngram_stats(_docs(spark, sf_dir).select("doc_id", "text"), n=5)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Link-graph authority (operators/linkgraph.py): 5 damped
+    PageRank rounds over a deterministic 20-node domain graph (source
+    domain → doc_id-derived target domain, parallel edges kept) — the
+    crawl-curation prior next to connected components. Determinism is
+    the lm.py recipe (per-step rounding + DECIMAL sums); the oracle
+    unrolls all 5 iterations as DuckDB CTEs and must match the ranks
+    to 8 digits."""
+    from gnames_spark.operators.linkgraph import pagerank
+
+    edges = _docs(spark, sf_dir).select(
+        F.col("source").alias("src"),
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") * 13 + 5) % 20).cast("string")
+        ).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, iterations=5)
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1548,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": q_text_script_profile,
         "text_gopher_quality": q_text_gopher_quality,
         "text_dup_ngrams": q_text_dup_ngrams,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -1716,6 +1736,49 @@ def _dk_gopher_quality_sql() -> str:
                coalesce(array_to_string(fails, ','), '') AS fail_reasons
         FROM v
     """
+
+
+def _dk_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """DuckDB mirror of operators/linkgraph.pagerank over the same
+    synthesized domain graph: the fixed iteration count unrolls as one
+    CTE pair (contributions, ranks) per round."""
+    parts = [f"""
+        WITH e AS (
+          SELECT source AS src,
+                 concat('src', cast((doc_id * 13 + 5) % 20 as varchar)) AS dst
+          FROM documents
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e)
+        ),
+        outd AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+          SELECT node, round(1.0 / nn.n, 12)::DECIMAL(28,12) AS rank
+          FROM nodes CROSS JOIN nn
+        )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        c{i} AS (
+          SELECT e.dst AS node,
+                 round((r.rank::DOUBLE) / o.out_deg, 12)::DECIMAL(28,12) AS c
+          FROM e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN outd o ON r.node = o.node
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 round(round((1.0 - {d}) / nn.n, 12)
+                       + {d} * coalesce(s.s::DOUBLE, 0.0),
+                       12)::DECIMAL(28,12) AS rank
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (SELECT node, sum(c) AS s FROM c{i} GROUP BY node) s
+                 ON nodes.node = s.node
+        )""")
+    parts.append(f"""
+        SELECT node, round(rank::DOUBLE, 8) AS rank FROM r{iters}
+    """)
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2440,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "text_gopher_quality": _dk_gopher_quality_sql(),
+        "graph_pagerank": _dk_pagerank_sql(),
         "text_dup_ngrams": f"""
             WITH g AS (
               SELECT doc_id, unnest(
