@@ -548,6 +548,24 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=5)
 
 
+def q_text_length_percentiles(spark, sf_dir):
+    """Per-source document-length distribution (exact interpolated
+    percentiles — Spark `percentile` and DuckDB `quantile_cont` share
+    the interpolation contract bit-for-bit): the first distribution
+    report a corpus curation pass prints, and the input to per-source
+    truncation policies. One map-side-combinable aggregate."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
 def q_dedup_incremental_components(spark, sf_dir):
     """M5 incremental fold-in == from-scratch clustering: split the
     corpus by doc-id parity into base + increment, cluster the base,
@@ -1568,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": q_text_gopher_quality,
         "text_dup_ngrams": q_text_dup_ngrams,
         "graph_pagerank": q_graph_pagerank,
+        "text_length_percentiles": q_text_length_percentiles,
     }
 
 
@@ -2504,6 +2523,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_gopher_quality": _dk_gopher_quality_sql(),
         "graph_pagerank": _dk_pagerank_sql(),
+        "text_length_percentiles": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY source
+        """,
         "text_dup_ngrams": f"""
             WITH g AS (
               SELECT doc_id, unnest(
