@@ -782,6 +782,42 @@ def q_emb_ann_topk(spark, sf_dir):
     return topk.select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def q_emb_ann_topk_t9(spark, sf_dir):
+    """ANN top-k at the TIGHT operating point (min_cosine=0.9) — the
+    config a production near-dup screen actually runs, vs emb_ann_topk's
+    deliberately loose tau=0.4 worst case (which forces the 181-band
+    fallback and dominates the bench battery). At tau=0.9
+    derive_sign_banding needs ~14 narrow bands, so the same machinery
+    runs an order of magnitude cheaper (ANN_RECALL.json).
+
+    The raw test table has no high-cosine pairs, so near-duplicates are
+    synthesized deterministically IN the query (the URL/PII synth
+    pattern): each vector v_i gains a partner 6*v_i + v_{i+1}, whose
+    cosine to v_i is (6+c)/sqrt(37+12c) >= 0.986 for any c = v_i.v_{i+1}
+    in [-1, 1] — comfortably inside the banding's certain-catch region,
+    so the thresholded top-3 is exactly brute-force-reproducible and the
+    DuckDB oracle asserts full equality. Mix arithmetic is elementwise
+    double (cast-then-mix on both sides) for bit parity."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    partner = emb.select(
+        (F.col("vec_id") - 1).alias("pid"), F.col("embedding").alias("pvec")
+    )
+    synth = emb.join(partner, F.col("vec_id") == F.col("pid")).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("zip_with(embedding, pvec, (x, y) -> 6.0D * x + y)").alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(synth)
+    topk, _ = ann_topk(
+        corpus, dim=64, k=3, min_cosine=0.9, round_digits=5, filter_below_min=True
+    )
+    return topk.select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF top-k under the FULL oracle — the second ANN family the
     training-data mandate names ("an IVF or LSH-bucketed variant"):
@@ -1565,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sim_pairs": q_emb_sim_pairs,
         "emb_ann_pairs": q_emb_ann_pairs,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_topk_t9": q_emb_ann_topk_t9,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf2_topk": q_emb_ivf2_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -2332,6 +2369,32 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
               ) AS rank
               FROM sims WHERE cosine >= 0.4
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        # tight-tau ANN: same brute-force thresholded-top-3 oracle over
+        # the deterministically synthesized near-dup corpus (6*v_i +
+        # v_{i+1} partners; mix arithmetic elementwise double on both
+        # sides for bit parity)
+        "emb_ann_topk_t9": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), synth AS (
+              SELECT a.vec_id + 1000000 AS vec_id,
+                     list_transform(list_zip(a.e, b.e),
+                                    s -> 6.0 * s[1] + s[2]) AS e
+              FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+            ), corpus AS (
+              SELECT * FROM base UNION ALL SELECT * FROM synth
+            ), sims AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.e, b.e), 5) AS cosine
+              FROM corpus a JOIN corpus b ON a.vec_id != b.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+              ) AS rank
+              FROM sims WHERE cosine >= 0.9
             )
             SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
         """,

@@ -59,6 +59,9 @@ def _bench_queries(spark, sf_dir):
         "emb_sim_pairs",
         "emb_ann_pairs",
         "emb_ann_topk",
+        # tight operating point (min_cosine=0.9, ~14 bands): the config
+        # a production screen runs, vs emb_ann_topk's tau=0.4 worst case
+        "emb_ann_topk_t9",
         "emb_ivf_topk",
         "text_token_counts",
         "text_fingerprint",
