@@ -548,6 +548,26 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=5)
 
 
+def q_graph_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-mass redistribution (stochastic
+    completion) over a dangling-HEAVY graph: dst domains ('dst0'..
+    'dst14') never appear as sources, so 15 of the 35 nodes are sinks —
+    the shape real link graphs have (most crawled URLs are never
+    sources), where the simple variant's relative order diverges.
+    Same determinism recipe (per-step round-12, DECIMAL sums, dangling
+    share as a 1-row broadcast scalar); the oracle unrolls all 5
+    iterations with the per-round dangling-mass CTE."""
+    from gnames_spark.operators.linkgraph import pagerank
+
+    edges = _docs(spark, sf_dir).select(
+        F.col("source").alias("src"),
+        F.concat(
+            F.lit("dst"), ((F.col("doc_id") * 13 + 5) % 15).cast("string")
+        ).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, iterations=5, redistribute_dangling=True)
+
+
 def q_text_length_percentiles(spark, sf_dir):
     """Per-source document-length distribution (exact interpolated
     percentiles — Spark `percentile` and DuckDB `quantile_cont` share
@@ -1605,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf2_topk": q_emb_ivf2_topk,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_dangling": q_graph_pagerank_dangling,
         # -- fixed this round / evicted-green r02 rows back in window --
         "x5_author_normalize": q_x5_author_normalize,
         "x12_outlink": q_x12_outlink,
@@ -1813,14 +1834,23 @@ def _dk_gopher_quality_sql() -> str:
     """
 
 
-def _dk_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+def _dk_pagerank_sql(
+    iters: int = 5,
+    d: float = 0.85,
+    dst_prefix: str = "src",
+    dst_mod: int = 20,
+    dangling: bool = False,
+) -> str:
     """DuckDB mirror of operators/linkgraph.pagerank over the same
     synthesized domain graph: the fixed iteration count unrolls as one
-    CTE pair (contributions, ranks) per round."""
+    CTE pair (contributions, ranks) per round — plus a per-round
+    1-row dangling-share CTE when ``dangling`` (mirroring the broadcast
+    scalar: DECIMAL-exact sum of out-degree-0 ranks, cast double,
+    divided by N, rounded to 12)."""
     parts = [f"""
         WITH e AS (
           SELECT source AS src,
-                 concat('src', cast((doc_id * 13 + 5) % 20 as varchar)) AS dst
+                 concat('{dst_prefix}', cast((doc_id * 13 + 5) % {dst_mod} as varchar)) AS dst
           FROM documents
         ),
         nodes AS (
@@ -1840,7 +1870,26 @@ def _dk_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
                  round((r.rank::DOUBLE) / o.out_deg, 12)::DECIMAL(28,12) AS c
           FROM e JOIN r{i - 1} r ON e.src = r.node
                  JOIN outd o ON r.node = o.node
+        )""")
+        if dangling:
+            parts.append(f""",
+        d{i} AS (
+          SELECT round(coalesce(
+                   (SELECT sum(r.rank)::DOUBLE FROM r{i - 1} r
+                    WHERE r.node NOT IN (SELECT node FROM outd)), 0.0)
+                 / (SELECT n FROM nn), 12) AS dshare
         ),
+        r{i} AS (
+          SELECT nodes.node,
+                 round(round((1.0 - {d}) / nn.n, 12)
+                       + {d} * (coalesce(s.s::DOUBLE, 0.0) + dsh.dshare),
+                       12)::DECIMAL(28,12) AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN d{i} dsh
+          LEFT JOIN (SELECT node, sum(c) AS s FROM c{i} GROUP BY node) s
+                 ON nodes.node = s.node
+        )""")
+        else:
+            parts.append(f""",
         r{i} AS (
           SELECT nodes.node,
                  round(round((1.0 - {d}) / nn.n, 12)
@@ -2606,6 +2655,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_gopher_quality": _dk_gopher_quality_sql(),
         "graph_pagerank": _dk_pagerank_sql(),
+        "graph_pagerank_dangling": _dk_pagerank_sql(
+            dst_prefix="dst", dst_mod=15, dangling=True
+        ),
         "text_length_percentiles": """
             SELECT source, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 6) AS p50,

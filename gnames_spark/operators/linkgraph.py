@@ -13,9 +13,15 @@ Contract (the oracle recomputes it, so it is frozen and exact):
   N distinct nodes; each round every node receives
   (1-d)/N + d * sum(contributions), a contribution being the source's
   rank / out_degree for each in-edge.
-- Dangling mass is NOT redistributed (the "simple" variant — dangling
-  nodes absorb rank; documented, deterministic, and the common choice
-  for authority-PRIORS where relative order is what matters).
+- Dangling mass: by default NOT redistributed (the "simple" variant —
+  dangling nodes absorb rank; deterministic, and a common choice for
+  authority-PRIORS where relative order is what matters). With
+  ``redistribute_dangling=True`` each round also spreads the summed
+  rank of out-degree-0 nodes uniformly: every node receives
+  (1-d)/N + d * (sum(contributions) + dangling_mass / N) — the
+  textbook stochastic-completion form. Real link graphs are
+  dangling-heavy (most crawled URLs are never sources), and the two
+  variants order nodes differently, so both are first-class.
 - Determinism is engineered the lm.py way: each contribution and each
   new rank is rounded to 12 digits and summed in DECIMAL(28,12) —
   addition is exact and order-independent, so partition layout can
@@ -43,10 +49,18 @@ def pagerank(
     iterations: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` damped rounds. Duplicate
     (src, dst) rows count as parallel edges (each carries its own
-    contribution) — pre-dedup if simple-graph semantics are wanted."""
+    contribution) — pre-dedup if simple-graph semantics are wanted.
+
+    ``redistribute_dangling=True`` adds the stochastic-completion term:
+    the DECIMAL-exact sum of dangling ranks is a 1-row table crossJoined
+    (broadcast scalar, the lm.py pattern — no driver collect) into the
+    rank update as round(mass/N, 12). The dangling node set is computed
+    ONCE (anti-join on out-degree) — membership never changes across
+    rounds."""
     src = F.col(src_col)
     dst = F.col(dst_col)
     nodes = (
@@ -60,6 +74,7 @@ def pagerank(
     out_deg = edges.groupBy(src.alias("node")).agg(
         F.count("*").alias("out_deg")
     )
+    dangling = nodes.join(out_deg, "node", "left_anti") if redistribute_dangling else None
     ranks = nodes.select(
         "node", F.lit(round(1.0 / n, ROUND_D)).cast(RANK_T).alias("rank")
     )
@@ -77,15 +92,30 @@ def pagerank(
             )
         )
         recv = contribs.groupBy("to").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(recv, nodes["node"] == recv["to"], "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + damping * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    ROUND_D,
+        joined = nodes.join(recv, nodes["node"] == recv["to"], "left")
+        if redistribute_dangling:
+            # exact order-independent DECIMAL sum of dangling rank, then
+            # one rounded double share per node; 1-row broadcast scalar
+            dmass = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(
+                    F.round(
+                        F.coalesce(F.sum("rank").cast("double"), F.lit(0.0))
+                        / F.lit(float(n)),
+                        ROUND_D,
+                    ).alias("dshare")
                 )
+            )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            received = F.coalesce(F.col("s").cast("double"), F.lit(0.0)) + F.col(
+                "dshare"
+            )
+        else:
+            received = F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        ranks = (
+            joined.select(
+                "node",
+                F.round(F.lit(base) + damping * received, ROUND_D)
                 .cast(RANK_T)
                 .alias("rank"),
             )

@@ -15,7 +15,7 @@ EDGES = [
 ]
 
 
-def ref_pagerank(edges, d=0.85, iters=5):
+def ref_pagerank(edges, d=0.85, iters=5, dangling=False):
     """Sequential reference of the exact module contract."""
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     n = len(nodes)
@@ -26,7 +26,16 @@ def ref_pagerank(edges, d=0.85, iters=5):
         recv = defaultdict(Decimal)
         for s, t in edges:
             recv[t] += Decimal(str(round(rank[s] / out[s], 12)))
-        rank = {v: round(base + d * float(recv[v]), 12) for v in nodes}
+        dshare = 0.0
+        if dangling:
+            dmass = sum(
+                (Decimal(str(rank[v])) for v in nodes if out[v] == 0),
+                Decimal(0),
+            )
+            dshare = round(float(dmass) / n, 12)
+        rank = {
+            v: round(base + d * (float(recv[v]) + dshare), 12) for v in nodes
+        }
     return {v: round(r, 8) for v, r in rank.items()}
 
 
@@ -55,3 +64,67 @@ class TestPageRank:
         total = sum(r.rank for r in pagerank(df).collect())
         # simple variant: dangling mass leaks, so total <= 1
         assert 0.5 < total <= 1.000001
+
+
+DANGLING_EDGES = [
+    # b, d, e never appear as sources — a dangling-heavy graph where
+    # redistribution visibly changes both totals and relative order
+    ("a", "b"), ("a", "d"), ("c", "d"), ("c", "e"), ("a", "c"),
+]
+
+
+class TestPageRankDangling:
+    def test_matches_sequential_reference(self, spark):
+        df = spark.createDataFrame(DANGLING_EDGES, ["src", "dst"])
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, redistribute_dangling=True).collect()
+        }
+        assert got == ref_pagerank(DANGLING_EDGES, dangling=True)
+
+    def test_partition_invariant(self, spark):
+        df = spark.createDataFrame(DANGLING_EDGES * 3, ["src", "dst"])
+        a = {
+            r.node: r.rank
+            for r in pagerank(df, redistribute_dangling=True).collect()
+        }
+        b = {
+            r.node: r.rank
+            for r in pagerank(
+                df.repartition(13), redistribute_dangling=True
+            ).collect()
+        }
+        assert a == b
+
+    def test_conserves_total_mass(self, spark):
+        # stochastic completion keeps the rank vector a distribution
+        # (up to the documented per-step rounding)
+        df = spark.createDataFrame(DANGLING_EDGES, ["src", "dst"])
+        total = sum(
+            r.rank for r in pagerank(df, redistribute_dangling=True).collect()
+        )
+        assert abs(total - 1.0) < 1e-6
+
+    def test_redistribution_lifts_sources_over_simple(self, spark):
+        df = spark.createDataFrame(DANGLING_EDGES, ["src", "dst"])
+        simple = {r.node: r.rank for r in pagerank(df).collect()}
+        redis = {
+            r.node: r.rank
+            for r in pagerank(df, redistribute_dangling=True).collect()
+        }
+        # recycled dangling mass flows back to every node; sources a, c
+        # (rank = base only in both variants' floor) strictly gain
+        assert redis["a"] > simple["a"]
+        assert redis["c"] > simple["c"]
+
+    def test_no_dangling_nodes_equals_simple_variant(self, spark):
+        # on a graph with no sinks the two contracts coincide exactly
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+        )
+        simple = {r.node: r.rank for r in pagerank(df).collect()}
+        redis = {
+            r.node: r.rank
+            for r in pagerank(df, redistribute_dangling=True).collect()
+        }
+        assert simple == redis
