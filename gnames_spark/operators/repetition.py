@@ -51,9 +51,14 @@ def repetition_stats(
     Docs with no non-empty lines / fewer than ``ngram`` tokens get
     zero counts and fractions (never flagged).
     """
-    lines = explode_lines(docs, text_col, id_col, delim)
+    # equality-only keys: hash lines/grams BEFORE the groupBy so the
+    # shuffle ships 16-byte keys, never the strings (the linededup.py
+    # posture; same accepted 64-bit collision risk, documented there)
+    lines = explode_lines(docs, text_col, id_col, delim).select(
+        id_col, F.xxhash64("line").alias("lh")
+    )
     line_stats = (
-        lines.groupBy(id_col, "line")
+        lines.groupBy(id_col, "lh")
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
         .agg(
@@ -64,9 +69,9 @@ def repetition_stats(
 
     grams = docs.select(
         id_col, F.explode(shingle_strings(text_col, ngram)).alias("gram")
-    )
+    ).select(id_col, F.xxhash64("gram").alias("gh"))
     gram_stats = (
-        grams.groupBy(id_col, "gram")
+        grams.groupBy(id_col, "gh")
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
         .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_n"))
@@ -120,13 +125,15 @@ def dup_ngram_stats(
     skew posture as the rest of the module: (doc, gram) → (doc)
     stacked map-side-combinable groupBys, group sizes bounded by doc
     length, no Python."""
+    # hash-keyed like repetition_stats: the character weight is taken
+    # per occurrence BEFORE the shuffle, so only (id, hash, len) rows
+    # move; max(L) is exact (equal grams have equal lengths)
     grams = docs.select(
         id_col, F.explode(shingle_strings(text_col, n)).alias("gram")
-    )
+    ).select(id_col, F.xxhash64("gram").alias("gh"), F.length("gram").alias("gl"))
     per_gram = (
-        grams.groupBy(id_col, "gram")
-        .agg(F.count("*").alias("c"))
-        .withColumn("L", F.length("gram"))
+        grams.groupBy(id_col, "gh")
+        .agg(F.count("*").alias("c"), F.max("gl").alias("L"))
     )
     agg = per_gram.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
