@@ -110,6 +110,58 @@ class TestPipeline:
         assert m["rows"] == rows == 60
         assert m["n_partitions"] >= 1 and m["max_partition_rows"] <= 60
 
+    def test_full_production_config(self, spark, pages):
+        """The bench's full-config tier (all hygiene gates + substring
+        screen ON — the config dedup_pipeline_120k_fullconfig measures)
+        keeps the recall contract AGAINST POST-PRECLEAN TRUTH: the gates
+        legitimately move borderline near-pairs below tau (stripping
+        shared chrome shrinks the set intersection — observed at this
+        seed: a planted near-pair drops from >=0.8 to 0.60-0.69), so
+        the oracle is recomputed on the CLEANED text, exactly the
+        recall_check.py contract."""
+        from gnames_spark.corpus import expected_dup_groups
+
+        fcfg = CFG.with_overrides(
+            collapse_url_snapshots=True,
+            strip_shared_lines_min_docs=8,
+            max_dup_line_frac=0.9,
+            max_top_gram_frac=0.5,
+            redact_pii=True,
+        )
+        res = DedupPipeline(spark, fcfg).run(pages)
+        docs = res["docs"]
+        n_docs = docs.count()
+        assert 0 < n_docs <= N  # gates may only drop, never duplicate
+        comps = _components_dict(res)
+        assert len(comps) == n_docs
+
+        from gnames_spark.functions.shingles import shingle_set
+
+        rows = docs.select(
+            "doc_id", "url", "content_sha",
+            shingle_set("text", fcfg.shingle_k).alias("ss"),
+        ).collect()
+        by_idx = {int(r["url"].rsplit("/", 1)[1]): r for r in rows}
+        truth_pairs, found = [], 0
+        for g, members in expected_dup_groups(SEED, N).items():
+            survivors = [by_idx[m] for m in members if m in by_idx]
+            for i in range(len(survivors)):
+                for j in range(i + 1, len(survivors)):
+                    a, b = survivors[i], survivors[j]
+                    sa, sb = set(a["ss"]), set(b["ss"])
+                    exact = a["content_sha"] == b["content_sha"]
+                    jac = (
+                        len(sa & sb) / len(sa | sb) if sa and sb else 0.0
+                    )
+                    if exact or jac >= fcfg.jaccard_threshold:
+                        truth_pairs.append((a["doc_id"], b["doc_id"]))
+                        if comps[a["doc_id"]] == comps[b["doc_id"]]:
+                            found += 1
+        assert len(truth_pairs) >= 10  # the gates must not erase truth
+        # toy scale: every post-clean truth pair must cluster (the
+        # >=0.99 statistical gate is recall_check.py's job at 100k+)
+        assert found == len(truth_pairs), (found, len(truth_pairs))
+
     def test_exact_members_inherit_component(self, spark, pages, run_nockpt):
         """Non-representative exact copies land in the same component as
         their representative (the early-exit cascade must not lose them)."""
