@@ -427,6 +427,23 @@ def q_dedup_stratified_sample(spark, sf_dir):
     )
 
 
+def q_dedup_temperature_mix(spark, sf_dir):
+    """Temperature-alpha corpus mixing (operators/sampling.py
+    temperature_mix): the multilingual-training recipe — sample each
+    language proportional to count^alpha — realized as a pure
+    down-sampling filter. Rates are derived FROM the corpus (one
+    map-side-combinable count per lang, rounded to 6 digits as part of
+    the contract), broadcast-joined back, and membership decided by the
+    same md5-prefix uniform as the stratified mix, so the oracle
+    recomputes every per-row draw end-to-end in DuckDB."""
+    from gnames_spark.operators.sampling import temperature_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_mix(docs, "lang", 0.5, salt="temp1").select(
+        "doc_id", "lang"
+    )
+
+
 def q_text_chunking(spark, sf_dir):
     """Training-window chunking (functions/chunking.py): overlapping
     32-token windows at stride 24 — integer-exact window math, partial
@@ -1640,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_best_with_ties": q_w2_best_with_ties,
         "x11_status_derivation": q_x11_status_derivation,
         # ---- position 51+: r02/r03-green rows parked out of the window ----
+        "dedup_temperature_mix": q_dedup_temperature_mix,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2565,6 +2583,21 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
                               ELSE 0.0 END
+        """,
+        "dedup_temperature_mix": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+            ), eff AS (
+              SELECT min(pow(n_total, 0.5)) AS m FROM counts
+            ), rates AS (
+              SELECT lang, round(m / pow(n_total, 0.5), 6) AS rate
+              FROM counts, eff
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r USING (lang)
+            WHERE cast(('0x' || substr(md5(concat('temp1',
+                    cast(d.doc_id as varchar))), 1, 8)) as bigint)
+                  / 4294967296.0 < r.rate
         """,
         "text_chunking": f"""
             WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),

@@ -62,6 +62,61 @@ def hash_sample(
     return df.filter(hash_uniform(key_col, salt) < rate)
 
 
+def temperature_rates(
+    df: DataFrame, stratum_col: str, alpha: float
+) -> DataFrame:
+    """Per-stratum keep rates for temperature-``alpha`` mixing:
+    rate_s = min_t(c_t^(1-alpha)) / c_s^(1-alpha), rounded to 6 digits
+    (part of the contract, so an auditor engine reproduces membership).
+
+    This realizes the multilingual-training recipe (sample stratum s
+    with probability proportional to c_s^alpha) as a pure DOWN-sampling
+    mix: the stratum minimizing c^(1-alpha) keeps 100% and every other
+    stratum keeps the exact rate that lands the kept-size distribution
+    on the c^alpha law. alpha=1 keeps everything; alpha=0 equalizes
+    stratum sizes. Requires 0 <= alpha <= 1 (upsampling is a repeat
+    operator, not a filter).
+
+    Scale: one map-side-combinable count per stratum; the rates table
+    is |strata| rows — broadcast onward."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_total"))
+    eff = counts.agg(
+        F.min(F.pow(F.col("n_total"), F.lit(1.0 - alpha))).alias("_m")
+    )
+    return counts.crossJoin(F.broadcast(eff)).select(
+        stratum_col,
+        "n_total",
+        F.round(
+            F.col("_m") / F.pow(F.col("n_total"), F.lit(1.0 - alpha)), 6
+        ).alias("rate"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-``alpha`` corpus mix: down-sample each stratum to the
+    c^alpha share via :func:`temperature_rates`, membership decided by
+    the deterministic md5-prefix uniform (portable, rerun-stable).
+
+    The rates join broadcasts (|strata| rows); the keep decision stays
+    a codegen filter — no shuffle of the data side."""
+    rates = temperature_rates(df, stratum_col, alpha).select(
+        stratum_col, "rate"
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_uniform(key_col, salt) < F.col("rate"))
+        .drop("rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -9,6 +9,8 @@ from gnames_spark.operators.sampling import (
     hash_sample,
     hash_uniform,
     stratified_sample,
+    temperature_mix,
+    temperature_rates,
 )
 
 
@@ -75,3 +77,77 @@ class TestHashSampling:
     def test_salt_validation(self, corpus):
         with pytest.raises(ValueError):
             hash_uniform("doc_id", "bad'salt")
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # strata sizes 6000 / 3000 / 800 / 200 — a head-heavy language mix
+    return spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6000, "en")
+        .when(F.col("id") < 9000, "de")
+        .when(F.col("id") < 9800, "es")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+
+
+class TestTemperatureMix:
+    def test_rates_alpha_one_keeps_all(self, skewed):
+        rates = {r.lang: r.rate for r in temperature_rates(skewed, "lang", 1.0).collect()}
+        assert rates == {"en": 1.0, "de": 1.0, "es": 1.0, "fr": 1.0}
+        assert temperature_mix(skewed, "lang", 1.0, salt="t").count() == 10000
+
+    def test_rates_alpha_zero_equalizes(self, skewed):
+        # alpha=0: every stratum keeps min_count/count -> kept sizes ~equal
+        rates = {r.lang: r.rate for r in temperature_rates(skewed, "lang", 0.0).collect()}
+        assert rates["fr"] == 1.0
+        assert abs(rates["en"] - 200 / 6000) < 1e-6
+        got = {
+            r.lang: r.n
+            for r in temperature_mix(skewed, "lang", 0.0, salt="t")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got["fr"] == 200  # rate 1.0 exact
+        for lang in ("en", "de", "es"):
+            assert abs(got[lang] - 200) < 50  # binomial noise around 200
+
+    def test_alpha_half_follows_sqrt_law(self, skewed):
+        # kept_s ~ sqrt(c_s) * sqrt(c_min): en/de kept ratio ~ sqrt(2)
+        got = {
+            r.lang: r.n
+            for r in temperature_mix(skewed, "lang", 0.5, salt="t")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got["fr"] == 200  # smallest stratum kept fully
+        expected_en = (200 * 6000) ** 0.5  # ~1095
+        assert abs(got["en"] - expected_en) / expected_en < 0.1
+        assert abs(got["en"] / got["de"] - 2**0.5) < 0.15
+
+    def test_deterministic_and_partition_invariant(self, skewed):
+        a = {r.doc_id for r in temperature_mix(skewed, "lang", 0.3, salt="x").collect()}
+        b = {
+            r.doc_id
+            for r in temperature_mix(
+                skewed.repartition(13), "lang", 0.3, salt="x"
+            ).collect()
+        }
+        assert a == b
+
+    def test_rates_join_broadcasts(self, skewed):
+        plan = (
+            temperature_mix(skewed, "lang", 0.5, salt="t")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "Python" not in plan
+
+    def test_alpha_validation(self, skewed):
+        with pytest.raises(ValueError):
+            temperature_rates(skewed, "lang", 1.5)
+        with pytest.raises(ValueError):
+            temperature_mix(skewed, "lang", -0.1)
