@@ -427,6 +427,17 @@ def q_dedup_stratified_sample(spark, sf_dir):
     )
 
 
+def q_text_zipf_head(spark, sf_dir):
+    """Corpus frequency-head report (operators/lm.py zipf_head): top-50
+    tokens by count with deterministic (count desc, token asc) rank and
+    freq = round(c/total, 8). Selection reuses the histogram-threshold
+    top-k (no TakeOrdered over the vocab); only the 50 surviving rows
+    see a global window."""
+    from gnames_spark.operators.lm import zipf_head
+
+    return zipf_head(_docs(spark, sf_dir).select("doc_id", "text"), k=50)
+
+
 def q_dedup_temperature_mix(spark, sf_dir):
     """Temperature-alpha corpus mixing (operators/sampling.py
     temperature_mix): the multilingual-training recipe — sample each
@@ -1658,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_status_derivation": q_x11_status_derivation,
         # ---- position 51+: r02/r03-green rows parked out of the window ----
         "dedup_temperature_mix": q_dedup_temperature_mix,
+        "text_zipf_head": q_text_zipf_head,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2583,6 +2595,19 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
                               ELSE 0.0 END
+        """,
+        "text_zipf_head": f"""
+            WITH tok AS (
+              SELECT unnest({_DK_TOKS}) AS token FROM documents
+            ), counts AS (
+              SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), total AS (SELECT sum(c) AS total FROM counts)
+            SELECT row_number() OVER (ORDER BY c DESC, token ASC)::BIGINT
+                       AS rank,
+                   token, c::BIGINT AS n_occurrences,
+                   round(c::DOUBLE / total::DOUBLE, 8) AS freq
+            FROM counts, total
+            ORDER BY c DESC, token ASC LIMIT 50
         """,
         "dedup_temperature_mix": """
             WITH counts AS (

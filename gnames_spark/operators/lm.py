@@ -144,6 +144,47 @@ def score_docs(
     return out
 
 
+def zipf_head(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus frequency-head report: the top-``k`` tokens by count as
+    (rank, token, n_occurrences, freq) — the first sanity plot of any
+    web corpus (does the head follow Zipf? is position 1 a boilerplate
+    artifact? did a template token explode?). Deterministic: rank
+    orders by (count desc, token asc); freq = round(c / total, 8) is
+    one IEEE double divide, bit-equal in any engine.
+
+    Scale: token counting is the same map-side-combinable groupBy as
+    :func:`train_unigram`; the top-k selection reuses the
+    histogram-threshold trick (:func:`_top_k_tokens` — no TakeOrdered
+    over the full vocab), so the only globally-ordered step is a
+    row_number window over the k surviving rows."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        # consumed twice (histogram + threshold filters) and summed once
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("c"), F.asc("token"))  # bounded: k rows survive
+    return (
+        _top_k_tokens(counts, k)
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("c").cast("long").alias("n_occurrences"),
+            F.round(
+                F.col("c").cast("double") / F.col("total").cast("double"), 8
+            ).alias("freq"),
+        )
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     k: int = 3,

@@ -139,3 +139,34 @@ class TestScriptProfile:
         df = spark.createDataFrame([(1, "ab мк")], ["doc_id", "text"])
         # latin 2 vs cyrillic 2 -> 'latin' > 'cyrillic' lexically
         assert df.select(dominant_script("text")).first()[0] == "latin"
+
+
+class TestZipfHead:
+    def test_head_ranks_and_freqs(self, corpus, spark):
+        from gnames_spark.operators.lm import zipf_head
+
+        rows = zipf_head(corpus, k=3).orderBy("rank").collect()
+        # 17 tokens total; 'the' 4x, then on/sat at 2 (token tiebreak)
+        assert [(r.rank, r.token, r.n_occurrences) for r in rows] == [
+            (1, "the", 4),
+            (2, "on", 2),
+            (3, "sat", 2),
+        ]
+        assert rows[0].freq == round(4 / 17, 8)
+
+    def test_k_larger_than_vocab(self, corpus):
+        from gnames_spark.operators.lm import zipf_head
+
+        rows = zipf_head(corpus, k=1000).collect()
+        assert len(rows) == 12  # full vocab, no padding
+        assert {r.rank for r in rows} == set(range(1, 13))
+
+    def test_partition_invariant(self, corpus):
+        from gnames_spark.operators.lm import zipf_head
+
+        a = [tuple(r) for r in zipf_head(corpus, k=5).orderBy("rank").collect()]
+        b = [
+            tuple(r)
+            for r in zipf_head(corpus.repartition(7), k=5).orderBy("rank").collect()
+        ]
+        assert a == b
