@@ -393,6 +393,27 @@ def q_dedup_representatives(spark, sf_dir):
     )
 
 
+def q_dedup_quality_representatives(spark, sf_dir):
+    """Quality-aware representative selection (W4 under a custom
+    policy): per dup cluster keep the doc with the MOST tokens (ties →
+    min doc_id) instead of min-id — what a production pass actually
+    ships (keep the fullest capture, drop truncated mirrors). Exercises
+    select_representatives' order_cols path: still a groupBy(min_by)
+    on a struct key — a 10^7-member boilerplate cluster is map-side
+    combined, never sorted in one task."""
+    from gnames_spark.functions.shingles import tokens
+    from gnames_spark.operators.representatives import select_representatives
+
+    comps = q_dedup_components(spark, sf_dir)
+    stats = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    out = select_representatives(
+        comps, docs=stats, order_cols=[(-F.col("n_tokens")).alias("neg_tokens")]
+    )
+    return out.select("doc_id", "component_id", "rep_doc", "is_representative")
+
+
 def q_dedup_cluster_histogram(spark, sf_dir):
     """Cluster-size distribution — the first report every dedup run
     ships (how much of the corpus is singletons vs megaclusters, and
@@ -1670,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: r02/r03-green rows parked out of the window ----
         "dedup_temperature_mix": q_dedup_temperature_mix,
         "text_zipf_head": q_text_zipf_head,
+        "dedup_quality_representatives": q_dedup_quality_representatives,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2595,6 +2617,22 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
                               ELSE 0.0 END
+        """,
+        "dedup_quality_representatives": f"""
+            WITH comps AS ({_DK_COMPONENTS}),
+            j AS (
+              SELECT c.doc_id, c.component_id, len({_DK_TOKS}) AS n_tokens
+              FROM comps c JOIN documents USING (doc_id)
+            ),
+            reps AS (
+              SELECT component_id, doc_id AS rep_doc FROM j
+              QUALIFY row_number() OVER (
+                PARTITION BY component_id
+                ORDER BY n_tokens DESC, doc_id ASC) = 1
+            )
+            SELECT j.doc_id, j.component_id, r.rep_doc,
+                   (j.doc_id = r.rep_doc) AS is_representative
+            FROM j JOIN reps r USING (component_id)
         """,
         "text_zipf_head": f"""
             WITH tok AS (
