@@ -448,6 +448,22 @@ def q_dedup_stratified_sample(spark, sf_dir):
     )
 
 
+def q_text_pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing (operators/packing.py): docs
+    hashed into 8 independent token streams, stream order = (md5-prefix
+    hash, doc_id), cut every 128 tokens into training sequences. Exact
+    integer layout — the oracle recomputes the whole stream in DuckDB
+    with the same window sum."""
+    from gnames_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        budget=128,
+        n_shards=8,
+        salt="pack1",
+    )
+
+
 def q_text_zipf_head(spark, sf_dir):
     """Corpus frequency-head report (operators/lm.py zipf_head): top-50
     tokens by count with deterministic (count desc, token asc) rank and
@@ -1692,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_temperature_mix": q_dedup_temperature_mix,
         "text_zipf_head": q_text_zipf_head,
         "dedup_quality_representatives": q_dedup_quality_representatives,
+        "text_pack_sequences": q_text_pack_sequences,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2617,6 +2634,27 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
                               ELSE 0.0 END
+        """,
+        "text_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, len({_DK_TOKS}) AS n_tokens,
+                     cast(('0x' || substr(md5(concat('pack1',
+                         cast(doc_id as varchar))), 1, 8)) as bigint) AS h
+              FROM documents
+            ), laid AS (
+              SELECT doc_id, (h % 8)::INTEGER AS shard, n_tokens, h,
+                     sum(n_tokens) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id) AS cum
+              FROM t
+            )
+            SELECT doc_id, shard,
+                   (cum - n_tokens)::BIGINT AS start_offset,
+                   n_tokens::BIGINT AS n_tokens,
+                   ((cum - n_tokens) // 128)::BIGINT AS first_seq,
+                   (CASE WHEN n_tokens > 0 THEN (cum - 1) // 128
+                         ELSE (cum - n_tokens) // 128 END)::BIGINT
+                       AS last_seq
+            FROM laid
         """,
         "dedup_quality_representatives": f"""
             WITH comps AS ({_DK_COMPONENTS}),

@@ -1,0 +1,80 @@
+"""Sequence packing — docs → fixed-token-budget training sequences.
+
+The last step of a training-data pipeline: after dedup, hygiene, and
+mixing, documents are CONCATENATED into a token stream and cut every
+``budget`` tokens into training sequences (the standard concat-and-cut
+packing; a doc may straddle a cut). The engine's job is the layout
+bookkeeping, distributedly and deterministically: which shard, at what
+stream offset, into which sequences does each doc land.
+
+Determinism/portability contract: the stream order is defined by the
+md5-prefix hash of (salt, doc_id) — the same engine-portable draw the
+samplers use (operators/sampling.py) — with doc_id as tiebreak, so any
+engine (the DuckDB driver oracle included) reproduces the exact layout,
+and reruns / resumed checkpoints agree row-for-row.
+
+Scale: one shuffle, partitioned by shard. The within-shard running
+total is a sort-based window — the unavoidable cost of DEFINING a
+stream order — and ``n_shards`` bounds it: at 10^12 docs, 10^6 shards
+keep each window sort at ~10^6 rows (one task, spill-safe), and shards
+are independent so the stage is embarrassingly parallel. No Python,
+no driver state; offsets are exact integer math (no floats anywhere).
+
+Reference analog: the reference's reconciliation API processes name
+streams in fixed-size batches (BatchSize 50,
+/root/reference/internal/io/rest/rest.go:296); here the fixed-size
+unit is a training sequence with a token budget, and the layout is
+computed distributedly instead of consumed serially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from gnames_spark.functions.shingles import tokens
+from gnames_spark.operators.sampling import hash_prefix
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-doc packing layout: (id, shard, start_offset, n_tokens,
+    first_seq, last_seq).
+
+    Each doc is hashed to one of ``n_shards`` independent token
+    streams; within its shard the stream order is (hash, id). The doc
+    occupies stream positions [start_offset, start_offset + n_tokens);
+    sequence k of a shard is positions [k*budget, (k+1)*budget), so the
+    doc touches sequences first_seq..last_seq (inclusive; a doc longer
+    than ``budget`` spans several, an empty doc touches the one its
+    offset points into).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    t = docs.select(
+        id_col,
+        F.size(tokens(text_col)).alias("n_tokens"),
+        hash_prefix(id_col, salt).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+    w = W.partitionBy("shard").orderBy("h", id_col)
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return t.select(
+        id_col,
+        "shard",
+        start.cast("long").alias("start_offset"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(start / budget).cast("long").alias("first_seq"),
+        F.floor(
+            F.when(F.col("n_tokens") > 0, cum - 1).otherwise(start) / budget
+        )
+        .cast("long")
+        .alias("last_seq"),
+    )

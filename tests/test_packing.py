@@ -1,0 +1,75 @@
+"""Sequence packing layout (operators/packing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnames_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 37))) for i in range(400)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestPackSequences:
+    def test_offsets_are_contiguous_per_shard(self, corpus):
+        out = pack_sequences(corpus, budget=64, n_shards=4).collect()
+        by_shard: dict[int, list] = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert len(out) == 400 and len(by_shard) == 4
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            for r in rows:
+                assert r.start_offset == pos  # no gaps, no overlaps
+                pos += r.n_tokens
+
+    def test_seq_span_math(self, corpus):
+        for r in pack_sequences(corpus, budget=64, n_shards=4).collect():
+            assert r.first_seq == r.start_offset // 64
+            end = r.start_offset + r.n_tokens
+            if r.n_tokens > 0:
+                assert r.last_seq == (end - 1) // 64
+                # straddles a cut iff the span crosses a multiple of 64
+                assert (r.last_seq > r.first_seq) == (
+                    end - 1 >= (r.first_seq + 1) * 64
+                )
+            else:
+                assert r.last_seq == r.first_seq  # empty doc: zero span
+
+    def test_total_tokens_conserved(self, corpus):
+        out = pack_sequences(corpus, budget=64, n_shards=4)
+        total = corpus.select(
+            F.sum(F.size(F.split(F.trim("text"), " +"))).alias("t")
+        )
+        # shingles.tokens drops empties; recompute from the output itself:
+        assert (
+            out.agg(F.sum("n_tokens")).first()[0]
+            == sum(i % 37 for i in range(400))
+        )
+
+    def test_deterministic_and_partition_invariant(self, corpus):
+        a = sorted(map(tuple, pack_sequences(corpus, 64, 4).collect()))
+        b = sorted(
+            map(tuple, pack_sequences(corpus.repartition(11), 64, 4).collect())
+        )
+        assert a == b
+
+    def test_no_python_in_plan(self, corpus):
+        plan = (
+            pack_sequences(corpus, 64, 4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
+
+    def test_validation(self, corpus):
+        with pytest.raises(ValueError):
+            pack_sequences(corpus, 0, 4)
+        with pytest.raises(ValueError):
+            pack_sequences(corpus, 64, 0)
+        with pytest.raises(ValueError):
+            pack_sequences(corpus, 64, 4, salt="bad'salt")
