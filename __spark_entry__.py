@@ -414,6 +414,39 @@ def q_dedup_quality_representatives(spark, sf_dir):
     return out.select("doc_id", "component_id", "rep_doc", "is_representative")
 
 
+def q_dedup_curation_end_to_end(spark, sf_dir):
+    """The whole curation chain as ONE query: near-dup components →
+    quality-aware representative keep (most tokens wins) →
+    temperature-alpha language mix over the survivors → concat-and-cut
+    packing of the mixed set into per-shard token streams. Every stage
+    is the production operator; the oracle replays the ENTIRE chain —
+    clustering, the keep policy, the derived mix rates, every
+    membership draw, and the final integer layout — independently in
+    DuckDB. One row per training-set document with its final
+    (shard, offset, sequence-span) placement."""
+    from gnames_spark.functions.shingles import tokens
+    from gnames_spark.operators.packing import pack_sequences
+    from gnames_spark.operators.representatives import select_representatives
+    from gnames_spark.operators.sampling import temperature_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    stats = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    marked = select_representatives(
+        q_dedup_components(spark, sf_dir),
+        docs=stats,
+        order_cols=[(-F.col("n_tokens")).alias("neg_tokens")],
+    )
+    kept = docs.join(
+        marked.filter(F.col("is_representative")).select("doc_id"), "doc_id"
+    )
+    mixed = temperature_mix(kept, "lang", 0.5, salt="cur1")
+    packed = pack_sequences(mixed, budget=128, n_shards=4, salt="curpack")
+    return packed.join(mixed.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "shard", "start_offset", "n_tokens",
+        "first_seq", "last_seq",
+    )
+
+
 def q_dedup_cluster_histogram(spark, sf_dir):
     """Cluster-size distribution — the first report every dedup run
     ships (how much of the corpus is singletons vs megaclusters, and
@@ -1709,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_head": q_text_zipf_head,
         "dedup_quality_representatives": q_dedup_quality_representatives,
         "text_pack_sequences": q_text_pack_sequences,
+        "dedup_curation_end_to_end": q_dedup_curation_end_to_end,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2634,6 +2668,51 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
                               ELSE 0.0 END
+        """,
+        "dedup_curation_end_to_end": f"""
+            WITH comps AS ({_DK_COMPONENTS}),
+            j AS (
+              SELECT c.doc_id, c.component_id, len({_DK_TOKS}) AS n_tokens
+              FROM comps c JOIN documents USING (doc_id)
+            ),
+            kept AS (
+              SELECT doc_id FROM j
+              QUALIFY row_number() OVER (
+                PARTITION BY component_id
+                ORDER BY n_tokens DESC, doc_id ASC) = 1
+            ),
+            kd AS (
+              SELECT d.doc_id, d.lang, len({_DK_TOKS}) AS n_tokens
+              FROM documents d JOIN kept USING (doc_id)
+            ),
+            counts AS (SELECT lang, count(*) AS n FROM kd GROUP BY lang),
+            eff AS (SELECT min(pow(n, 0.5)) AS m FROM counts),
+            rates AS (
+              SELECT lang, round(m / pow(n, 0.5), 6) AS rate FROM counts, eff
+            ),
+            mixed AS (
+              SELECT kd.doc_id, kd.lang, kd.n_tokens
+              FROM kd JOIN rates USING (lang)
+              WHERE cast(('0x' || substr(md5(concat('cur1',
+                      cast(doc_id as varchar))), 1, 8)) as bigint)
+                    / 4294967296.0 < rate
+            ),
+            laid AS (
+              SELECT doc_id, lang, (h % 4)::INTEGER AS shard, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY h % 4 ORDER BY h, doc_id) AS cum
+              FROM (SELECT *, cast(('0x' || substr(md5(concat('curpack',
+                        cast(doc_id as varchar))), 1, 8)) as bigint) AS h
+                    FROM mixed)
+            )
+            SELECT doc_id, lang, shard,
+                   (cum - n_tokens)::BIGINT AS start_offset,
+                   n_tokens::BIGINT AS n_tokens,
+                   ((cum - n_tokens) // 128)::BIGINT AS first_seq,
+                   (CASE WHEN n_tokens > 0 THEN (cum - 1) // 128
+                         ELSE (cum - n_tokens) // 128 END)::BIGINT
+                       AS last_seq
+            FROM laid
         """,
         "text_pack_sequences": f"""
             WITH t AS (
