@@ -1676,11 +1676,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is the driver's grading order: the first 50
     entries form the graded scoreboard (r01-r03 each graded exactly the
-    first 50). Curated so every §2 family AND every LLM-pipeline
-    operator lands a driver row: the full dedup/hygiene/embedding/graph
-    surface first, then one green representative per TPC-H-ish family.
-    Entries past position 50 all have green rows in CORRECTNESS_r02/r03
-    (evidence stands) and remain runnable via tools/check_oracle.py."""
+    first 50). Curated to maximize distinct driver-graded coverage
+    across rounds: every never-graded query is in the window; entries
+    past position 50 ALL hold green rows from a previous round's
+    CORRECTNESS_r0N.json (evidence stands) and remain runnable via
+    tools/check_oracle.py. Round-4 rotation: the five new operators
+    (curation chain, temperature mix, packing, zipf head, quality
+    representatives) swapped in for five TPC-H-family rows that were
+    graded green in r03 (sessionization, q1, o6, w2, x11)."""
     return {
         # -- flagship dedup core (15) --
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1730,19 +1733,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_rollup": q_a11_rollup,
         "u4_intersect_except": q_u4_intersect_except,
         "a6_group_stats": q_a6_group_stats,
-        # -- one green representative per remaining §2 family --
-        "events_sessionization": q_events_sessionization,
+        # -- round-4 operators (never graded) + one §2-join representative --
+        "dedup_curation_end_to_end": q_dedup_curation_end_to_end,
+        "dedup_temperature_mix": q_dedup_temperature_mix,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_zipf_head": q_text_zipf_head,
+        "dedup_quality_representatives": q_dedup_quality_representatives,
         "j1_multiway_join": q_j1_multiway_join,
+        # ---- position 51+: rows already graded green in r02/r03 ----
+        "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
         "w2_best_with_ties": q_w2_best_with_ties,
         "x11_status_derivation": q_x11_status_derivation,
-        # ---- position 51+: r02/r03-green rows parked out of the window ----
-        "dedup_temperature_mix": q_dedup_temperature_mix,
-        "text_zipf_head": q_text_zipf_head,
-        "dedup_quality_representatives": q_dedup_quality_representatives,
-        "text_pack_sequences": q_text_pack_sequences,
-        "dedup_curation_end_to_end": q_dedup_curation_end_to_end,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
