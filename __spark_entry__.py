@@ -555,6 +555,19 @@ def q_text_unigram_surprisal(spark, sf_dir):
     return score_docs(docs, train_unigram(docs))
 
 
+def q_text_bigram_surprisal(spark, sf_dir):
+    """Conditional (bigram) surprisal (operators/lm.py train_bigram /
+    score_docs_bigram): the n-gram extension of the unigram score —
+    mean -ln p(token | prev) per doc, honest-MLE contexts, OOV pairs
+    floored. Same engineered float determinism (8-digit ln, exact
+    DECIMAL sums, one double divide); the oracle retrains and rescores
+    the whole model in DuckDB."""
+    from gnames_spark.operators.lm import score_docs_bigram, train_bigram
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return score_docs_bigram(docs, train_bigram(docs))
+
+
 def q_text_tfidf_keywords(spark, sf_dir):
     """Per-doc tf-idf keywords (operators/lm.py tfidf_keywords): the
     standard doc-vs-corpus term contrast, top-3 per doc with the same
@@ -1680,10 +1693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds: every never-graded query is in the window; entries
     past position 50 ALL hold green rows from a previous round's
     CORRECTNESS_r0N.json (evidence stands) and remain runnable via
-    tools/check_oracle.py. Round-4 rotation: the five new operators
+    tools/check_oracle.py. Round-4 rotation: the six new operators
     (curation chain, temperature mix, packing, zipf head, quality
-    representatives) swapped in for five TPC-H-family rows that were
-    graded green in r03 (sessionization, q1, o6, w2, x11)."""
+    representatives, bigram surprisal) swapped in for six TPC-H-family
+    rows that were graded green in r03 (sessionization, j1, q1, o6,
+    w2, x11)."""
     return {
         # -- flagship dedup core (15) --
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1739,8 +1753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_zipf_head": q_text_zipf_head,
         "dedup_quality_representatives": q_dedup_quality_representatives,
-        "j1_multiway_join": q_j1_multiway_join,
+        "text_bigram_surprisal": q_text_bigram_surprisal,
         # ---- position 51+: rows already graded green in r02/r03 ----
+        "j1_multiway_join": q_j1_multiway_join,
         "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
@@ -2817,6 +2832,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY doc_id
             )
             SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_tokens,
+                   CASE WHEN a.n > 0
+                        THEN round(-(a.sl::DOUBLE) / a.n, 6) END
+                       AS avg_neg_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_bigram_surprisal": f"""
+            WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+            bg AS (
+              SELECT doc_id, toks[i - 1] AS prev, toks[i] AS token
+              FROM (SELECT doc_id, toks,
+                           unnest(range(2, len(toks) + 1)) AS i FROM t)
+            ), pairs AS (
+              SELECT prev, token, count(*) AS c FROM bg GROUP BY 1, 2
+            ), ctx AS (
+              SELECT prev, sum(c) AS c_prev FROM pairs GROUP BY 1
+            ), model AS (
+              SELECT prev, token, round(ln(c / c_prev), 8) AS logp
+              FROM pairs JOIN ctx USING (prev)
+            ), scored AS (
+              SELECT bg.doc_id,
+                     coalesce(m.logp, -20.0)::DECIMAL(28,12) AS logp
+              FROM bg LEFT JOIN model m USING (prev, token)
+            ), agg AS (
+              SELECT doc_id, count(*) AS n, sum(logp) AS sl
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_bigrams,
                    CASE WHEN a.n > 0
                         THEN round(-(a.sl::DOUBLE) / a.n, 6) END
                        AS avg_neg_logprob

@@ -144,6 +144,94 @@ def score_docs(
     return out
 
 
+def _bigrams(text_col: str):
+    """(prev, token) struct array from the token stream — pure Catalyst
+    (two slices zipped), no explode-then-window."""
+    t = tokens(text_col)
+    m = F.greatest(F.size(t) - F.lit(1), F.lit(0))  # 0/1-token docs: empty
+    return F.arrays_zip(
+        F.slice(t, 1, m).alias("prev"),
+        F.slice(t, 2, m).alias("token"),
+    )
+
+
+def train_bigram(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Bigram conditional model: (prev, token, logp) with
+    logp = round(ln(c(prev, token) / c(prev)), 8) — honest MLE
+    (contexts counted over ALL pairs, before any cap), kept rows
+    filtered to pair count >= ``min_count``.
+
+    The conditional extension of :func:`train_unigram` — the shape a
+    real perplexity filter (KenLM n-gram) uses; same determinism
+    recipe. Scale: one map-side-combinable groupBy over exploded pairs;
+    context counts REUSE the pair table (second tiny groupBy), and the
+    cap is a pure count filter — no top-k over the pair vocabulary."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    pairs = (
+        docs.select(F.explode(_bigrams(text_col)).alias("bg"))
+        .select("bg.prev", "bg.token")
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # consumed twice: contexts + kept rows
+    )
+    ctx = pairs.groupBy("prev").agg(F.sum("c").alias("c_prev"))
+    return (
+        pairs.filter(F.col("c") >= min_count)
+        .join(ctx, "prev")
+        .select(
+            "prev",
+            "token",
+            F.round(F.log(F.col("c") / F.col("c_prev")), LOGP_DIGITS).alias(
+                "logp"
+            ),
+        )
+    )
+
+
+def score_docs_bigram(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = -20.0,
+) -> DataFrame:
+    """Per-doc mean bigram surprisal: (id, n_bigrams, avg_neg_logprob).
+
+    Unseen (prev, token) pairs score at the ``oov_logp`` floor; docs
+    with < 2 tokens have n_bigrams = 0 and a NULL score. Same
+    numeric contract as :func:`score_docs` (8-digit logp, exact
+    DECIMAL sum, one double divide, 6-digit mean). The model join
+    ships (prev, token, logp) — AQE broadcasts it under any realistic
+    ``min_count``; hot contexts are probe-side."""
+    bg = docs.select(
+        id_col, F.explode(_bigrams(text_col)).alias("bg")
+    ).select(id_col, "bg.prev", "bg.token")
+    scored = bg.join(model, ["prev", "token"], "left").select(
+        id_col,
+        F.coalesce("logp", F.lit(round(oov_logp, LOGP_DIGITS)))
+        .cast(DECIMAL_T)
+        .alias("logp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("logp").alias("sum_logp"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                -F.col("sum_logp").cast("double") / F.col("n_bigrams"),
+                SCORE_DIGITS,
+            ),
+        ).alias("avg_neg_logprob"),
+    )
+
+
 def zipf_head(
     docs: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -170,3 +170,75 @@ class TestZipfHead:
             for r in zipf_head(corpus.repartition(7), k=5).orderBy("rank").collect()
         ]
         assert a == b
+
+
+class TestBigramLM:
+    def test_conditional_probabilities(self, corpus, spark):
+        import math
+
+        from gnames_spark.operators.lm import train_bigram
+
+        model = {
+            (r.prev, r.token): r.logp for r in train_bigram(corpus).collect()
+        }
+        # 'the' is followed by: cat, mat, dog, rug (once each) -> p = 1/4
+        assert model[("the", "cat")] == round(math.log(1 / 4), 8)
+        # 'sat on' twice out of 'sat ...' twice -> p = 1
+        assert model[("sat", "on")] == 0.0
+        # 'on the' twice out of two 'on' contexts -> p = 1
+        assert model[("on", "the")] == 0.0
+
+    def test_min_count_filters_pairs_not_contexts(self, corpus):
+        import math
+
+        from gnames_spark.operators.lm import train_bigram
+
+        model = {
+            (r.prev, r.token): r.logp
+            for r in train_bigram(corpus, min_count=2).collect()
+        }
+        assert ("the", "cat") not in model  # pair count 1 dropped
+        # kept pair still normalized by the FULL context count:
+        # 'on the' c=2, c(on)=2
+        assert model[("on", "the")] == round(math.log(2 / 2), 8)
+
+    def test_scores_and_short_docs(self, corpus, spark):
+        from gnames_spark.operators.lm import score_docs_bigram, train_bigram
+
+        extra = spark.createDataFrame([(5, "one")], ["doc_id", "text"])
+        docs = corpus.unionByName(extra)
+        model = train_bigram(docs)
+        got = {r.doc_id: r for r in score_docs_bigram(docs, model).collect()}
+        assert got[1].n_bigrams == 5  # 6 tokens
+        assert got[4].n_bigrams == 0 and got[4].avg_neg_logprob is None
+        assert got[5].n_bigrams == 0  # single token: no bigram
+        # gibberish doc: all pairs unique -> every conditional p = 1 ->
+        # surprisal 0; doc 1's shared contexts make it MORE surprising
+        assert got[3].avg_neg_logprob == 0.0
+        assert got[1].avg_neg_logprob > 0.0
+
+    def test_oov_floor(self, corpus, spark):
+        from gnames_spark.operators.lm import score_docs_bigram, train_bigram
+
+        model = train_bigram(corpus)
+        unseen = spark.createDataFrame(
+            [(9, "purple elephant")], ["doc_id", "text"]
+        )
+        got = score_docs_bigram(unseen, model).first()
+        assert got.n_bigrams == 1 and got.avg_neg_logprob == 20.0
+
+    def test_partition_invariant(self, corpus):
+        from gnames_spark.operators.lm import score_docs_bigram, train_bigram
+
+        a = sorted(
+            map(tuple, score_docs_bigram(corpus, train_bigram(corpus)).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                score_docs_bigram(
+                    corpus.repartition(9), train_bigram(corpus.repartition(5))
+                ).collect(),
+            )
+        )
+        assert a == b
