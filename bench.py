@@ -72,6 +72,9 @@ def _bench_queries(spark, sf_dir):
         "dedup_line_dedup",
         "dedup_url_snapshot",
         "text_unigram_surprisal",
+        # round-4 capstone: components -> quality-aware keep ->
+        # temperature mix -> sequence packing, one composed query
+        "dedup_curation_end_to_end",
     ]
     timings: dict[str, float] = {}
     for name in picked:
