@@ -59,12 +59,15 @@ class TestPackSequences:
         )
         assert a == b
 
-    def test_no_python_in_plan(self, corpus):
+    def test_no_python_one_shuffle(self, corpus):
         plan = (
             pack_sequences(corpus, 64, 4)
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+        # exactly the shard-partitioning exchange for the window sum —
+        # the one shuffle the layout needs
+        assert plan.count("Exchange hashpartitioning") == 1
 
     def test_validation(self, corpus):
         with pytest.raises(ValueError):
