@@ -127,6 +127,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--redact-pii", action="store_true",
                    help="replace e-mails/IPs/phone numbers with typed "
                         "tokens before hashing (functions/pii.py)")
+    p.add_argument("--mix-alpha", type=float, default=None,
+                   help="temperature-alpha language mix over the kept "
+                        "representatives (0=equalize strata, 1=keep all); "
+                        "writes <out>/training_set")
+    p.add_argument("--mix-salt", default="mix")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="tokens per training sequence; packs the training "
+                        "set concat-and-cut and writes <out>/training_layout")
+    p.add_argument("--pack-shards", type=int, default=64)
+    p.add_argument("--pack-salt", default="pack")
     p.add_argument("--preclean-report", action="store_true",
                    help="dry-run the configured hygiene gates over "
                         "--input, print + write the per-gate "
@@ -446,6 +456,44 @@ def main(argv: list[str] | None = None) -> int:
         if res.get(name) is None:  # already-promoted incremental re-run
             continue
         res[name].write.mode("overwrite").parquet(f"{out}/{name}")
+
+    if args.mix_alpha is not None or args.pack_budget is not None:
+        # curation tail: kept representatives → temperature mix →
+        # concat-and-cut packing layout (the training-set deliverable)
+        from gnames_spark.operators.packing import pack_sequences
+        from gnames_spark.operators.sampling import temperature_mix
+
+        docs_tbl = res.get("docs")
+        if docs_tbl is None:
+            if pipe.io is None or not pipe.io.is_complete("docs"):
+                print("--mix-alpha/--pack-budget need the docs table: run "
+                      "with --checkpoint-dir or in batch mode",
+                      file=sys.stderr)
+                return 2
+            docs_tbl = pipe.io.read(spark, "docs")
+        reps = res.get("representatives")
+        if reps is None:  # already-promoted incremental re-run
+            from gnames_spark.operators.representatives import (
+                select_representatives,
+            )
+
+            reps = select_representatives(pipe.io.read(spark, "components"))
+        kept = reps.filter(F.col("is_representative")).select("doc_id")
+        train = docs_tbl.join(kept, "doc_id").select("doc_id", "lang", "text")
+        if args.mix_alpha is not None:
+            train = temperature_mix(
+                train, "lang", args.mix_alpha, salt=args.mix_salt
+            )
+        train.drop("text").write.mode("overwrite").parquet(
+            f"{out}/training_set"
+        )
+        if args.pack_budget is not None:
+            pack_sequences(
+                train,
+                args.pack_budget,
+                args.pack_shards,
+                salt=args.pack_salt,
+            ).write.mode("overwrite").parquet(f"{out}/training_layout")
 
     from gnames_spark.session import _TUNING_CONFS
 

@@ -362,3 +362,45 @@ class TestEmbeddingModality:
             for r in spark.read.parquet(f"{out}/components").collect()
         }
         assert comp[1] == comp[2]
+
+
+class TestCurationTail:
+    def test_cli_mix_and_pack(self, spark, tmp_path):
+        """--mix-alpha/--pack-budget append the training-set deliverable
+        to the batch job: kept representatives -> temperature mix ->
+        packing layout, written next to the standard outputs."""
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 300, seed=SEED)
+        inp = str(tmp_path / "pages.parquet")
+        pages.write.parquet(inp)
+        out = str(tmp_path / "out")
+        assert main([
+            "--input", inp, "--output", out, "--shuffle-partitions", "4",
+            "--mix-alpha", "0.5", "--pack-budget", "64",
+            "--pack-shards", "2",
+        ]) == 0
+
+        kept = {
+            r.doc_id
+            for r in spark.read.parquet(f"{out}/representatives")
+            .filter("is_representative")
+            .collect()
+        }
+        train = spark.read.parquet(f"{out}/training_set").collect()
+        assert 0 < len(train) <= len(kept)
+        assert {r.doc_id for r in train} <= kept
+        assert {"doc_id", "lang"} <= set(train[0].asDict())
+
+        layout = spark.read.parquet(f"{out}/training_layout").collect()
+        assert {r.doc_id for r in layout} == {r.doc_id for r in train}
+        by_shard: dict[int, list] = {}
+        for r in layout:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert set(by_shard) == {0, 1}
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            for r in rows:
+                assert r.start_offset == pos
+                pos += r.n_tokens
