@@ -112,12 +112,12 @@ def temperature_mix(
     The rates join broadcasts (|strata| rows); the keep decision stays
     a codegen filter — no shuffle of the data side."""
     rates = temperature_rates(df, stratum_col, alpha).select(
-        stratum_col, "rate"
+        stratum_col, F.col("rate").alias("_tm_rate")  # avoid user columns
     )
     return (
         df.join(F.broadcast(rates), stratum_col)
-        .filter(hash_uniform(key_col, salt) < F.col("rate"))
-        .drop("rate")
+        .filter(hash_uniform(key_col, salt) < F.col("_tm_rate"))
+        .drop("_tm_rate")
     )
 
 
