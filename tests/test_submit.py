@@ -102,6 +102,10 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
         # hygiene gate wiring through the real submit path (the
         # synthetic corpus has no PII, so outputs are unchanged)
         "--redact-pii",
+        # curation tail through the real submit path
+        "--mix-alpha", "0.5",
+        "--pack-budget", "128",
+        "--pack-shards", "4",
     ]
     proc = subprocess.run(
         cmd, cwd=tmp_path, env=env, capture_output=True, text=True,
@@ -132,3 +136,12 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert doc["engine_confs"]["spark.sql.session.timeZone"] == "America/New_York"
     assert doc["engine_confs"]["spark.sql.join.preferSortMergeJoin"] == "false"
     assert doc["engine_confs"]["spark.sql.adaptive.enabled"] == "true"
+
+    # curation tail landed next to the standard outputs
+    train = pq.read_table(str(out / "training_set"))
+    assert 0 < train.num_rows <= reps.num_rows
+    assert {"doc_id", "lang"} <= set(train.schema.names)
+    layout = pq.read_table(str(out / "training_layout"))
+    assert layout.num_rows == train.num_rows
+    assert {"shard", "start_offset", "n_tokens", "first_seq",
+            "last_seq"} <= set(layout.schema.names)
