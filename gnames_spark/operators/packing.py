@@ -35,6 +35,47 @@ from gnames_spark.functions.shingles import tokens
 from gnames_spark.operators.sampling import hash_prefix
 
 
+def _validate(budget: int, n_shards: int) -> None:
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+
+
+def pack_stats(layout: DataFrame, budget: int) -> DataFrame:
+    """Per-shard balance report over a :func:`pack_sequences` layout:
+    (shard, n_docs, total_tokens, n_seqs, fill_frac) — the check that
+    hash sharding actually balanced the streams and how much of the
+    last sequence each shard wastes. fill_frac = total /
+    (n_seqs * budget), rounded to 6 digits; NULL for an empty shard.
+
+    Scale: one map-side-combinable groupBy over the layout; the result
+    is n_shards rows."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    agg = layout.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    n_seqs = F.floor(
+        (F.col("total_tokens") + F.lit(budget - 1)) / F.lit(budget)
+    )
+    return agg.select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        n_seqs.cast("long").alias("n_seqs"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (n_seqs * budget).cast("double"),
+                6,
+            ),
+        ).alias("fill_frac"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
@@ -54,10 +95,7 @@ def pack_sequences(
     than ``budget`` spans several, an empty doc touches the one its
     offset points into).
     """
-    if budget <= 0:
-        raise ValueError(f"budget must be positive: {budget}")
-    if n_shards <= 0:
-        raise ValueError(f"n_shards must be positive: {n_shards}")
+    _validate(budget, n_shards)
     t = docs.select(
         id_col,
         F.size(tokens(text_col)).alias("n_tokens"),

@@ -76,3 +76,26 @@ class TestPackSequences:
             pack_sequences(corpus, 64, 0)
         with pytest.raises(ValueError):
             pack_sequences(corpus, 64, 4, salt="bad'salt")
+
+
+class TestPackStats:
+    def test_balance_report(self, corpus, spark):
+        from gnames_spark.operators.packing import pack_stats
+
+        layout = pack_sequences(corpus, budget=64, n_shards=4)
+        stats = {r.shard: r for r in pack_stats(layout, 64).collect()}
+        assert set(stats) == {0, 1, 2, 3}
+        total = sum(r.total_tokens for r in stats.values())
+        assert total == sum(i % 37 for i in range(400))
+        for r in stats.values():
+            expect_seqs = -(-r.total_tokens // 64)
+            assert r.n_seqs == expect_seqs
+            assert r.fill_frac == round(r.total_tokens / (expect_seqs * 64), 6)
+            assert 0 < r.fill_frac <= 1.0
+        assert sum(r.n_docs for r in stats.values()) == 400
+
+    def test_validation(self, corpus):
+        from gnames_spark.operators.packing import pack_stats
+
+        with pytest.raises(ValueError):
+            pack_stats(pack_sequences(corpus, 64, 4), 0)
