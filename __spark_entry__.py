@@ -514,6 +514,32 @@ def q_text_pack_stats(spark, sf_dir):
     return pack_stats(layout, 128)
 
 
+def q_text_pack_incremental(spark, sf_dir):
+    """Incremental packing (operators/packing.py
+    pack_sequences_incremental): a new batch (doc_id % 3 == 0) appends
+    to the standing shard streams laid down by the base batch — the
+    append-log contract: base offsets never move, the increment pays
+    only its own window plus a broadcast of the n_shards-row base
+    stats. The oracle replays base tails + the appended layout."""
+    from gnames_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_incremental,
+        pack_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base_layout = pack_sequences(
+        docs.filter(F.col("doc_id") % 3 != 0), 128, 8, salt="pack1"
+    )
+    return pack_sequences_incremental(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        pack_stats(base_layout, 128),
+        128,
+        8,
+        salt="pack1",
+    )
+
+
 def q_text_zipf_head(spark, sf_dir):
     """Corpus frequency-head report (operators/lm.py zipf_head): top-50
     tokens by count with deterministic (count desc, token asc) rank and
@@ -1774,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rows already graded green in r02/r03 ----
         "j1_multiway_join": q_j1_multiway_join,
         "text_pack_stats": q_text_pack_stats,
+        "text_pack_incremental": q_text_pack_incremental,
         "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
@@ -2786,6 +2813,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.doc_id, j.component_id, r.rep_doc,
                    (j.doc_id = r.rep_doc) AS is_representative
             FROM j JOIN reps r USING (component_id)
+        """,
+        "text_pack_incremental": f"""
+            WITH t AS (
+              SELECT doc_id, len({_DK_TOKS}) AS n,
+                     cast(('0x' || substr(md5(concat('pack1',
+                         cast(doc_id as varchar))), 1, 8)) as bigint) AS h
+              FROM documents
+            ),
+            base AS (
+              SELECT (h % 8)::INTEGER AS shard, sum(n) AS tail
+              FROM t WHERE doc_id % 3 != 0 GROUP BY 1
+            ),
+            laid AS (
+              SELECT doc_id, (h % 8)::INTEGER AS shard, n,
+                     sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                         AS cum
+              FROM t WHERE doc_id % 3 = 0
+            ),
+            shifted AS (
+              SELECT doc_id, shard, n,
+                     cum - n + coalesce(tail, 0) AS start_off,
+                     cum + coalesce(tail, 0) AS cum_off
+              FROM laid LEFT JOIN base USING (shard)
+            )
+            SELECT doc_id, shard, start_off::BIGINT AS start_offset,
+                   n::BIGINT AS n_tokens,
+                   (start_off // 128)::BIGINT AS first_seq,
+                   (CASE WHEN n > 0 THEN (cum_off - 1) // 128
+                         ELSE start_off // 128 END)::BIGINT AS last_seq
+            FROM shifted
         """,
         "text_pack_stats": f"""
             WITH t AS (

@@ -42,6 +42,59 @@ def _validate(budget: int, n_shards: int) -> None:
         raise ValueError(f"n_shards must be positive: {n_shards}")
 
 
+def pack_sequences_incremental(
+    new_docs: DataFrame,
+    base_stats: DataFrame,
+    budget: int,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Append a new batch to standing shard streams: each shard's new
+    docs lay out AFTER the base tail, so already-packed docs never
+    move (the append-log contract — the packing analog of the
+    incremental fold-in; unlike CC fold-in it is deliberately NOT
+    fresh-run-equal, because a fresh combined run would interleave
+    old and new docs in hash order and rewrite every offset).
+
+    ``base_stats`` is the :func:`pack_stats` output of the standing
+    layout (only (shard, total_tokens) is read; shards with no base
+    docs start at 0). Same config (budget, n_shards, salt) must be
+    used — offsets are meaningless across configs.
+
+    Scale: the increment pays exactly a fresh :func:`pack_sequences`
+    over the new batch; the base is touched only through its
+    n_shards-row stats table (broadcast)."""
+    _validate(budget, n_shards)
+    layout = pack_sequences(
+        new_docs, budget, n_shards, text_col=text_col, id_col=id_col,
+        salt=salt,
+    )
+    base = base_stats.select(
+        "shard", F.col("total_tokens").alias("_base_tail")
+    )
+    start = F.col("start_offset") + F.col("_base_tail")
+    cum = start + F.col("n_tokens")
+    return (
+        layout.join(F.broadcast(base), "shard", "left")
+        .withColumn("_base_tail", F.coalesce("_base_tail", F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            start.cast("long").alias("start_offset"),
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("first_seq"),
+            F.floor(
+                F.when(F.col("n_tokens") > 0, cum - 1).otherwise(start)
+                / budget
+            )
+            .cast("long")
+            .alias("last_seq"),
+        )
+    )
+
+
 def pack_stats(layout: DataFrame, budget: int) -> DataFrame:
     """Per-shard balance report over a :func:`pack_sequences` layout:
     (shard, n_docs, total_tokens, n_seqs, fill_frac) — the check that

@@ -99,3 +99,53 @@ class TestPackStats:
 
         with pytest.raises(ValueError):
             pack_stats(pack_sequences(corpus, 64, 4), 0)
+
+
+class TestIncrementalPacking:
+    def test_append_log_contract(self, spark):
+        from gnames_spark.operators.packing import (
+            pack_sequences_incremental,
+            pack_stats,
+        )
+
+        def mk(ids):
+            rows = [(i, " ".join(f"w{j}" for j in range(i % 23))) for i in ids]
+            return spark.createDataFrame(rows, ["doc_id", "text"])
+
+        base = pack_sequences(mk(range(200)), 64, 4)
+        inc = pack_sequences_incremental(
+            mk(range(200, 300)), pack_stats(base, 64), 64, 4
+        )
+        # base offsets untouched by construction; the union is one
+        # contiguous stream per shard with base strictly first
+        combined: dict[int, list] = {}
+        for r in base.collect() + inc.collect():
+            combined.setdefault(r.shard, []).append(r)
+        base_tails = {r.shard: r.total_tokens for r in pack_stats(base, 64).collect()}
+        for shard, rows in combined.items():
+            rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            for r in rows:
+                assert r.start_offset == pos
+                assert r.first_seq == pos // 64
+                pos += r.n_tokens
+        for r in inc.collect():
+            assert r.start_offset >= base_tails.get(r.shard, 0)
+
+    def test_empty_base_shard_starts_at_zero(self, spark):
+        from gnames_spark.operators.packing import (
+            pack_sequences_incremental,
+        )
+
+        empty_stats = spark.createDataFrame(
+            [], "shard int, n_docs long, total_tokens long, n_seqs long, "
+                "fill_frac double"
+        )
+        rows = [(i, "a b c") for i in range(40)]
+        inc = pack_sequences_incremental(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            empty_stats, 64, 2,
+        )
+        got = inc.collect()
+        assert len(got) == 40
+        assert min(r.start_offset for r in got) == 0
