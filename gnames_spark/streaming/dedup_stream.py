@@ -410,3 +410,78 @@ def streaming_boilerplate_screen(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_packing(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Streaming sequence packing: arriving docs append to per-shard
+    token streams, emitting each doc's (shard, start_offset, n_tokens,
+    first_seq, last_seq) placement as it lands.
+
+    Custom stateful operator (the streaming form of
+    operators/packing.pack_sequences): GroupState per shard holds ONE
+    integer — the stream's tail offset — so state is bounded by
+    ``n_shards`` regardless of how long the crawl runs, and no timeout
+    is needed. Within a micro-batch docs lay out in the same
+    (md5-prefix hash, doc_id) order as the batch operator, so a finite
+    source replayed as one batch reproduces pack_sequences EXACTLY
+    (pytest-pinned); across micro-batches the layout is an append log
+    in arrival order — the same contract as
+    pack_sequences_incremental, which is the batch tool for replaying
+    a multi-batch layout deterministically.
+    """
+    from gnames_spark.functions.shingles import tokens
+    from gnames_spark.operators.packing import _validate
+    from gnames_spark.operators.sampling import hash_prefix
+
+    _validate(budget, n_shards)
+    base = docs
+    if "doc_id" not in base.columns:
+        base = base.withColumn("doc_id", F.xxhash64("url"))
+    t = base.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        hash_prefix("doc_id", salt).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+
+    out_type = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("start_offset", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("first_seq", T.LongType()),
+            T.StructField("last_seq", T.LongType()),
+        ]
+    )
+    state_type = T.StructType([T.StructField("tail", T.LongType())])
+    cols = [f.name for f in out_type.fields]
+
+    def lay(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        tail = state.get[0] if state.exists else 0
+        shard = int(key[0])
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["h", "doc_id"]).drop_duplicates("doc_id")
+            for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                n = int(n)
+                start = tail
+                tail += n
+                last = (tail - 1) // budget if n > 0 else start // budget
+                rows.append(
+                    (int(did), shard, start, n, start // budget, last)
+                )
+        state.update((tail,))
+        yield pd.DataFrame(rows, columns=cols)
+
+    return t.groupBy("shard").applyInPandasWithState(
+        lay,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -259,3 +259,82 @@ class TestStreamingBoilerplateScreen:
         by_line = {r.line: r.n_docs for r in got}
         # crossing count == threshold
         assert by_line == {boiler: 3, nav: 3}
+
+
+class TestStreamingPacking:
+    def test_single_batch_equals_batch_operator(self, spark, pages_dir):
+        """A finite source consumed in one micro-batch reproduces
+        pack_sequences exactly (same order contract)."""
+        from gnames_spark.operators.packing import pack_sequences
+        from gnames_spark.streaming.dedup_stream import streaming_packing
+
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        layout = streaming_packing(stream, budget=64, n_shards=4, salt="sp")
+        q = (
+            layout.writeStream.format("memory")
+            .queryName("pack_stream")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            map(tuple, spark.table("pack_stream").collect())
+        )
+        batch = spark.read.parquet(pages_dir).withColumn(
+            "doc_id", F.xxhash64("url")
+        )
+        want = sorted(
+            map(
+                tuple,
+                pack_sequences(batch, 64, 4, salt="sp")
+                .select(
+                    "doc_id", "shard", "start_offset", "n_tokens",
+                    "first_seq", "last_seq",
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+
+    def test_second_batch_appends(self, spark, tmp_path_factory):
+        """Docs arriving in a later micro-batch land after the standing
+        tails — the append-log contract."""
+        from gnames_spark.streaming.dedup_stream import streaming_packing
+
+        src = str(tmp_path_factory.mktemp("pack_src") / "docs")
+        first = generate_pages(spark, 60, seed=11)
+        first.write.parquet(src)
+        stream = spark.readStream.schema(PAGES_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        layout = streaming_packing(stream, budget=64, n_shards=2, salt="sp2")
+        q = (
+            layout.writeStream.format("memory")
+            .queryName("pack_stream2")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_first = spark.table("pack_stream2").count()
+            generate_pages(spark, 40, seed=12).withColumn(
+                "url", F.concat(F.lit("b2-"), F.col("url"))
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table("pack_stream2").collect()
+        assert n_first > 0 and len(rows) > n_first
+        # one contiguous stream per shard across both batches
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            for r in shard_rows:
+                assert r.start_offset == pos
+                pos += r.n_tokens
