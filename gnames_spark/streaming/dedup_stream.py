@@ -29,6 +29,12 @@ sense there:
   the threshold. Same analytic catch probability as ann_dup_pairs
   while both vectors live in state.
 
+- ``streaming_packing``: the packing layout as a stream — per-shard
+  GroupState holds ONE integer (the stream tail), arriving docs emit
+  their (shard, offset, sequence-span) placement as they land; a
+  finite source consumed in one micro-batch reproduces the batch
+  operator exactly.
+
 Full near-dup LSH as a pure stream is intentionally NOT offered:
 candidate self-joins over an unbounded corpus need the persisted
 signatures/buckets tables (stream-static join against the checkpointed
