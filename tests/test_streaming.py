@@ -338,3 +338,46 @@ class TestStreamingPacking:
             for r in shard_rows:
                 assert r.start_offset == pos
                 pos += r.n_tokens
+
+
+class TestStreamingMix:
+    def test_temperature_mix_rates_apply_to_a_stream(self, spark, pages_dir):
+        """The mixing draw is a stateless codegen filter, so
+        PRE-DERIVED rates apply unchanged to a stream: broadcast the
+        batch-derived rates table and filter arrivals. Membership
+        equals the batch operator row-for-row."""
+        from gnames_spark.operators.sampling import (
+            hash_uniform,
+            temperature_mix,
+            temperature_rates,
+        )
+
+        batch = spark.read.parquet(pages_dir).withColumn(
+            "doc_id", F.xxhash64("url")
+        )
+        rates = temperature_rates(batch, "lang", 0.5).select(
+            "lang", F.col("rate").alias("_r")
+        )
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .parquet(pages_dir)
+            .withColumn("doc_id", F.xxhash64("url"))
+            .join(F.broadcast(rates), "lang")
+            .filter(hash_uniform("doc_id", "sm") < F.col("_r"))
+        )
+        q = (
+            stream.select("doc_id").writeStream.format("memory")
+            .queryName("mix_stream").outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.doc_id for r in spark.table("mix_stream").collect()}
+        want = {
+            r.doc_id
+            for r in temperature_mix(batch, "lang", 0.5, salt="sm")
+            .select("doc_id")
+            .collect()
+        }
+        assert got == want and got
