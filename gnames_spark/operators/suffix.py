@@ -99,6 +99,79 @@ def _common_window(a_codes: np.ndarray, b_codes: np.ndarray, L: int, a: str, b: 
     return False
 
 
+def _suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling — O(n log n) lexsort rounds,
+    all rank bookkeeping vectorized."""
+    n = len(codes)
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.concatenate(
+        ([0], np.cumsum(sorted_codes[1:] != sorted_codes[:-1]))
+    )
+    k = 1
+    while k < n and rank[order[-1]] != n - 1:
+        rank2 = np.full(n, -1, dtype=np.int64)
+        rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        r1, r2 = rank[order], rank2[order]
+        bumped = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new = np.concatenate(([0], np.cumsum(bumped)))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new
+        k *= 2
+    return order
+
+
+def _lcp_kasai(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP array: lcp[r] = longest common prefix of suffixes
+    sa[r-1] and sa[r]. O(n) total (the while loop amortizes)."""
+    n = len(codes)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def lcs_length_sa(a: str, b: str) -> int:
+    """Exact longest-common-substring length via a generalized suffix
+    array + LCP (the textbook suffix-array pass): concatenate a, a
+    sentinel above any codepoint, then b; the LCS is the max LCP
+    between ADJACENT suffixes originating in different docs.
+
+    Independent algorithm from :func:`lcs_length` (binary search over
+    rolling hashes) — the two are property-pinned equal in pytest, so
+    a bug in either kernel's math is caught by the other."""
+    if not a or not b:
+        return 0
+    a_codes = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    b_codes = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sep = np.array([0x110000], dtype=np.int64)  # > any Unicode codepoint
+    codes = np.concatenate([a_codes, sep, b_codes])
+    sa = _suffix_array(codes)
+    lcp = _lcp_kasai(codes, sa)
+    is_a = sa < len(a_codes)  # suffixes starting inside a (sep excluded
+    is_sep = sa == len(a_codes)  # from both sides)
+    prev_a, prev_sep = np.roll(is_a, 1), np.roll(is_sep, 1)
+    cross = (is_a != prev_a) & ~is_sep & ~prev_sep
+    cross[0] = False
+    if not cross.any():
+        return 0
+    return int(lcp[cross].max())
+
+
 def lcs_length(a: str, b: str) -> int:
     """Exact longest-common-substring length, O((n+m) log min(n,m))."""
     if not a or not b:
@@ -183,14 +256,21 @@ def substring_verify(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
+    kernel: str = "rolling",
 ) -> DataFrame:
     """Verify candidate pairs for a shared >= min_substring_len substring.
 
     Joins texts onto the pairs (two shuffles) then streams Arrow batches
-    through the rolling-hash window check. Output:
+    through the window check. Output:
     (doc_a, doc_b, method='suffix', passed, lcs_len=-1 sentinel unless
     computed).
-    """
+
+    ``kernel`` picks the per-pair algorithm: ``"rolling"`` (default —
+    one rolling-hash window probe at min_len, cheapest) or
+    ``"suffix_array"`` (generalized suffix array + LCP; the
+    independent second implementation, pytest-pinned equal)."""
+    if kernel not in ("rolling", "suffix_array"):
+        raise ValueError(f"unknown substring kernel: {kernel!r}")
     min_len = cfg.min_substring_len
     texts_a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     texts_b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
@@ -198,10 +278,16 @@ def substring_verify(
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            passed = [
-                has_common_substring(ta, tb, min_len)
-                for ta, tb in zip(pdf["_ta"], pdf["_tb"])
-            ]
+            if kernel == "rolling":
+                passed = [
+                    has_common_substring(ta, tb, min_len)
+                    for ta, tb in zip(pdf["_ta"], pdf["_tb"])
+                ]
+            else:
+                passed = [
+                    lcs_length_sa(ta, tb) >= min_len
+                    for ta, tb in zip(pdf["_ta"], pdf["_tb"])
+                ]
             yield pd.DataFrame(
                 {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "passed": passed}
             )

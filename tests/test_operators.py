@@ -418,6 +418,26 @@ class TestSuffix:
                 checked += 1
         assert checked > 3
 
+    def test_suffix_array_kernel_matches_rolling(self, spark, docs):
+        """The generalized-suffix-array verify kernel passes exactly the
+        same pairs as the rolling-hash kernel on the planted corpus."""
+        pairs, _ = anchor_candidates(docs, CFG, set_col="shingle_set")
+        rolling = {
+            (r["doc_a"], r["doc_b"])
+            for r in substring_verify(pairs, docs, CFG).filter("passed").collect()
+        }
+        sa = {
+            (r["doc_a"], r["doc_b"])
+            for r in substring_verify(pairs, docs, CFG, kernel="suffix_array")
+            .filter("passed")
+            .collect()
+        }
+        assert sa == rolling and rolling
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            substring_verify(pairs, docs, CFG, kernel="bogus")
+
 
 class TestScoring:
     def test_pack_order(self, spark):

@@ -231,6 +231,24 @@ class TestRollingHashProperties:
     def test_has_common_substring_consistent_with_lcs(self, a, b, min_len):
         assert has_common_substring(a, b, min_len) == (lcs_length(a, b) >= min_len)
 
+    @given(st.text(alphabet="abc", max_size=60), st.text(alphabet="abc", max_size=60))
+    def test_suffix_array_lcs_equals_rolling_hash_lcs(self, a, b):
+        """Two independent exact-LCS algorithms (generalized suffix
+        array + Kasai LCP vs binary search over rolling hashes) must
+        agree on every input — a bug in either kernel's math is caught
+        by the other. Tiny alphabet maximizes repeated-substring and
+        hash-collision pressure."""
+        from gnames_spark.operators.suffix import lcs_length_sa
+
+        assert lcs_length_sa(a, b) == lcs_length(a, b)
+
+    @given(st.text(min_size=0, max_size=50))
+    def test_suffix_array_lcs_unicode_and_self(self, a):
+        from gnames_spark.operators.suffix import lcs_length_sa
+
+        assert lcs_length_sa(a, a) == len(a)
+        assert lcs_length_sa(a, "") == 0
+
 
 class TestTokenizerProperties:
     @given(st.lists(texts, min_size=1, max_size=6))
