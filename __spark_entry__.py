@@ -514,6 +514,25 @@ def q_text_pack_stats(spark, sf_dir):
     return pack_stats(layout, 128)
 
 
+def q_text_pack_manifest(spark, sf_dir):
+    """Per-sequence manifest (operators/packing.py sequence_manifest):
+    which training sequences exist, how many docs contribute, how full
+    each is — straddling docs split their tokens across the cut. The
+    oracle replays the layout window and the overlap arithmetic."""
+    from gnames_spark.operators.packing import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    layout = pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        budget=128,
+        n_shards=8,
+        salt="pack1",
+    )
+    return sequence_manifest(layout, 128)
+
+
 def q_text_pack_incremental(spark, sf_dir):
     """Incremental packing (operators/packing.py
     pack_sequences_incremental): a new batch (doc_id % 3 == 0) appends
@@ -1801,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_multiway_join": q_j1_multiway_join,
         "text_pack_stats": q_text_pack_stats,
         "text_pack_incremental": q_text_pack_incremental,
+        "text_pack_manifest": q_text_pack_manifest,
         "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
@@ -2813,6 +2833,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.doc_id, j.component_id, r.rep_doc,
                    (j.doc_id = r.rep_doc) AS is_representative
             FROM j JOIN reps r USING (component_id)
+        """,
+        "text_pack_manifest": f"""
+            WITH t AS (
+              SELECT doc_id, len({_DK_TOKS}) AS n,
+                     cast(('0x' || substr(md5(concat('pack1',
+                         cast(doc_id as varchar))), 1, 8)) as bigint) AS h
+              FROM documents
+            ), laid AS (
+              SELECT (h % 8)::INTEGER AS shard, n,
+                     sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                         AS cum
+              FROM t
+            ), spans AS (
+              SELECT shard, (cum - n) AS st, cum AS en,
+                     unnest(range(((cum - n) // 128)::BIGINT,
+                                  (((cum - 1) // 128) + 1)::BIGINT))
+                         AS seq_id
+              FROM laid WHERE n > 0
+            )
+            SELECT shard, seq_id::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(least(en, (seq_id + 1) * 128)
+                       - greatest(st, seq_id * 128))::BIGINT AS n_tokens
+            FROM spans GROUP BY shard, seq_id
         """,
         "text_pack_incremental": f"""
             WITH t AS (

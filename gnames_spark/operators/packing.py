@@ -95,6 +95,38 @@ def pack_sequences_incremental(
     )
 
 
+def sequence_manifest(layout: DataFrame, budget: int) -> DataFrame:
+    """Per-sequence manifest over a :func:`pack_sequences` layout:
+    (shard, seq_id, n_docs, n_tokens) — which training sequences exist,
+    how many docs contribute to each, and how many of the sequence's
+    ``budget`` positions are filled (the final one per shard is the
+    only one that can be short). A doc straddling a cut contributes its
+    overlap to BOTH sequences.
+
+    Scale: explode of each doc's (first_seq..last_seq) span — bounded
+    by ceil(n_tokens/budget) rows per doc — then one
+    map-side-combinable groupBy; pure Catalyst overlap arithmetic."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    end = F.col("start_offset") + F.col("n_tokens")
+    spans = layout.filter(F.col("n_tokens") > 0).select(
+        "shard",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        "start_offset",
+        end.alias("_end"),
+    )
+    lo = F.greatest(F.col("start_offset"), F.col("seq_id") * budget)
+    hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * budget)
+    return (
+        spans.withColumn("_contrib", hi - lo)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_contrib").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def pack_stats(layout: DataFrame, budget: int) -> DataFrame:
     """Per-shard balance report over a :func:`pack_sequences` layout:
     (shard, n_docs, total_tokens, n_seqs, fill_frac) — the check that

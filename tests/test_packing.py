@@ -149,3 +149,42 @@ class TestIncrementalPacking:
         got = inc.collect()
         assert len(got) == 40
         assert min(r.start_offset for r in got) == 0
+
+
+class TestSequenceManifest:
+    def test_manifest_conserves_and_fills(self, corpus, spark):
+        from gnames_spark.operators.packing import (
+            pack_stats,
+            sequence_manifest,
+        )
+
+        layout = pack_sequences(corpus, budget=64, n_shards=4)
+        man = sequence_manifest(layout, 64).collect()
+        stats = {r.shard: r for r in pack_stats(layout, 64).collect()}
+        by_shard: dict[int, list] = {}
+        for r in man:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r.seq_id)
+            # seq ids are dense 0..n_seqs-1
+            assert [r.seq_id for r in rows] == list(range(stats[shard].n_seqs))
+            # token conservation: straddling docs split across cuts
+            assert sum(r.n_tokens for r in rows) == stats[shard].total_tokens
+            # every sequence is exactly full except possibly the last
+            for r in rows[:-1]:
+                assert r.n_tokens == 64
+            assert 0 < rows[-1].n_tokens <= 64
+            assert all(r.n_docs >= 1 for r in rows)
+
+    def test_straddler_counted_in_both(self, spark):
+        from gnames_spark.operators.packing import sequence_manifest
+
+        # one 10-token doc then one 100-token doc in a single shard
+        rows = [(1, " ".join(["a"] * 10)), (2, " ".join(["b"] * 100))]
+        layout = pack_sequences(
+            spark.createDataFrame(rows, ["doc_id", "text"]), 64, 1
+        )
+        man = {r.seq_id: r for r in sequence_manifest(layout, 64).collect()}
+        assert man[0].n_tokens == 64 and man[1].n_tokens == 46
+        # the 100-token doc spans both sequences regardless of order
+        assert man[0].n_docs + man[1].n_docs == 3
