@@ -630,6 +630,31 @@ def q_text_bigram_surprisal(spark, sf_dir):
     return score_docs_bigram(docs, train_bigram(docs))
 
 
+def q_text_quality_calibration(spark, sf_dir):
+    """Calibration cross-tab between the RULE-based quality signal
+    (stopword ratio bands) and the STATISTICAL one (unigram surprisal,
+    1-nat bins): the report that tells a curation team whether the two
+    families agree before thresholds ship. Pure composition of two
+    oracle-verified scores; map-side-combinable group counts."""
+    from gnames_spark.operators.lm import score_docs, train_unigram
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sc = score_docs(docs, train_unigram(docs)).select(
+        "doc_id", "avg_neg_logprob"
+    )
+    q = q_text_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    j = sc.join(q, "doc_id").select(
+        F.when(F.col("stopword_ratio") >= 0.2, "high")
+        .when(F.col("stopword_ratio") >= 0.05, "mid")
+        .otherwise("low")
+        .alias("stop_band"),
+        F.floor("avg_neg_logprob").cast("long").alias("score_bin"),
+    )
+    return j.groupBy("stop_band", "score_bin").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
 def q_text_tfidf_keywords(spark, sf_dir):
     """Per-doc tf-idf keywords (operators/lm.py tfidf_keywords): the
     standard doc-vs-corpus term contrast, top-3 per doc with the same
@@ -1821,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_stats": q_text_pack_stats,
         "text_pack_incremental": q_text_pack_incremental,
         "text_pack_manifest": q_text_pack_manifest,
+        "text_quality_calibration": q_text_quality_calibration,
         "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
@@ -2973,6 +2999,44 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(-(a.sl::DOUBLE) / a.n, 6) END
                        AS avg_neg_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_quality_calibration": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents
+            ), counts AS (
+              SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), total AS (SELECT sum(c) AS total FROM counts),
+            model AS (
+              SELECT token, round(ln(c / total), 8) AS logp
+              FROM counts, total
+              QUALIFY row_number() OVER (ORDER BY c DESC, token ASC) <= 65536
+            ), scored AS (
+              SELECT doc_id,
+                     coalesce(m.logp, -20.0)::DECIMAL(28,12) AS logp
+              FROM tok LEFT JOIN model m USING (token)
+            ), agg AS (
+              SELECT doc_id, count(*) AS n, sum(logp) AS sl
+              FROM scored GROUP BY doc_id
+            ), sc AS (
+              SELECT d.doc_id,
+                     CASE WHEN a.n > 0
+                          THEN round(-(a.sl::DOUBLE) / a.n, 6) END AS s
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+            ), q AS (
+              SELECT doc_id,
+                     round(({_dk_stop_hits('en')})::DOUBLE
+                           / greatest(len(w), 1), 6) AS r
+              FROM (SELECT doc_id, {_DK_TOKS} AS w FROM documents)
+            ), j AS (
+              SELECT CASE WHEN r >= 0.2 THEN 'high'
+                          WHEN r >= 0.05 THEN 'mid'
+                          ELSE 'low' END AS stop_band,
+                     CASE WHEN s IS NOT NULL
+                          THEN floor(s)::BIGINT END AS score_bin
+              FROM sc JOIN q USING (doc_id)
+            )
+            SELECT stop_band, score_bin, count(*)::BIGINT AS n_docs
+            FROM j GROUP BY 1, 2
         """,
         "text_bigram_surprisal": f"""
             WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
