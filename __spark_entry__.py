@@ -533,6 +533,23 @@ def q_text_pack_manifest(spark, sf_dir):
     return sequence_manifest(layout, 128)
 
 
+def q_text_pack_materialize(spark, sf_dir):
+    """Materialized training sequences (operators/packing.py
+    materialize_sequences): the actual packed (shard, seq_id, seq_text)
+    rows — doc overlap slices concatenated in stream order, straddlers
+    split across the cut. Per-sequence state is bounded by the budget
+    BY CONSTRUCTION. The oracle rebuilds every sequence string in
+    DuckDB (ordered string_agg over the same overlap slices)."""
+    from gnames_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    layout = pack_sequences(docs, budget=128, n_shards=8, salt="pack1")
+    return materialize_sequences(layout, docs, 128)
+
+
 def q_text_pack_incremental(spark, sf_dir):
     """Incremental packing (operators/packing.py
     pack_sequences_incremental): a new batch (doc_id % 3 == 0) appends
@@ -1847,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_incremental": q_text_pack_incremental,
         "text_pack_manifest": q_text_pack_manifest,
         "text_quality_calibration": q_text_quality_calibration,
+        "text_pack_materialize": q_text_pack_materialize,
         "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
@@ -2859,6 +2877,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.doc_id, j.component_id, r.rep_doc,
                    (j.doc_id = r.rep_doc) AS is_representative
             FROM j JOIN reps r USING (component_id)
+        """,
+        "text_pack_materialize": f"""
+            WITH t AS (
+              SELECT doc_id, {_DK_TOKS} AS toks, len({_DK_TOKS}) AS n,
+                     cast(('0x' || substr(md5(concat('pack1',
+                         cast(doc_id as varchar))), 1, 8)) as bigint) AS h
+              FROM documents
+            ), laid AS (
+              SELECT (h % 8)::INTEGER AS shard, toks, n,
+                     sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                         AS cum
+              FROM t
+            ), spans AS (
+              SELECT shard, toks, (cum - n) AS st, cum AS en,
+                     unnest(range(((cum - n) // 128)::BIGINT,
+                                  (((cum - 1) // 128) + 1)::BIGINT))
+                         AS seq_id
+              FROM laid WHERE n > 0
+            ), pieces AS (
+              SELECT shard, seq_id,
+                     greatest(st, seq_id * 128) AS lo,
+                     least(en, (seq_id + 1) * 128) AS hi,
+                     toks, st
+              FROM spans
+            )
+            SELECT shard, seq_id::BIGINT AS seq_id,
+                   sum(hi - lo)::BIGINT AS n_tokens,
+                   string_agg(array_to_string(
+                       list_slice(toks, (lo - st + 1)::BIGINT,
+                                  (hi - st)::BIGINT), ' '),
+                       ' ' ORDER BY lo) AS seq_text
+            FROM pieces GROUP BY shard, seq_id
         """,
         "text_pack_manifest": f"""
             WITH t AS (

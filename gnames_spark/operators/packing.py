@@ -127,6 +127,69 @@ def sequence_manifest(layout: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def materialize_sequences(
+    layout: DataFrame,
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The engine's literal final deliverable: the packed training
+    sequences themselves — (shard, seq_id, n_tokens, seq_text), each
+    ``seq_text`` the space-joined concatenation of every doc segment
+    that lands in that sequence, in stream order (straddling docs
+    contribute their overlap slice to both sides of the cut).
+
+    Scale: the per-sequence collect is bounded by ``budget`` tokens BY
+    CONSTRUCTION — a sequence can never aggregate more than one
+    training window's worth of text, so the groupBy state is flat-rate
+    regardless of corpus size. Doc texts ship once per touched
+    sequence (≤ ceil(n_tokens/budget) copies — the same factor as the
+    layout explode)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    spans = (
+        layout.filter(F.col("n_tokens") > 0)
+        .join(t, "doc_id")
+        .select(
+            "shard",
+            F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+            "start_offset",
+            (F.col("start_offset") + F.col("n_tokens")).alias("_end"),
+            "_toks",
+        )
+    )
+    lo = F.greatest(F.col("start_offset"), F.col("seq_id") * budget)
+    hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * budget)
+    piece = F.slice(
+        "_toks", (lo - F.col("start_offset") + 1).cast("int"),
+        (hi - lo).cast("int"),
+    )
+    parts = spans.select(
+        "shard",
+        "seq_id",
+        F.struct(lo.alias("pos"), piece.alias("p")).alias("part"),
+    )
+    return (
+        parts.groupBy("shard", "seq_id")
+        .agg(F.array_sort(F.collect_list("part")).alias("_parts"))
+        .select(
+            "shard",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.aggregate(
+                "_parts", F.lit(0).cast("long"),
+                lambda acc, x: acc + F.size(x["p"]),
+            ).alias("n_tokens"),
+            F.array_join(
+                F.flatten(F.transform("_parts", lambda x: x["p"])), " "
+            ).alias("seq_text"),
+        )
+    )
+
+
 def pack_stats(layout: DataFrame, budget: int) -> DataFrame:
     """Per-shard balance report over a :func:`pack_sequences` layout:
     (shard, n_docs, total_tokens, n_seqs, fill_frac) — the check that

@@ -188,3 +188,45 @@ class TestSequenceManifest:
         assert man[0].n_tokens == 64 and man[1].n_tokens == 46
         # the 100-token doc spans both sequences regardless of order
         assert man[0].n_docs + man[1].n_docs == 3
+
+
+class TestMaterializeSequences:
+    def test_sequences_reassemble_the_stream(self, corpus, spark):
+        from gnames_spark.operators.packing import (
+            materialize_sequences,
+            sequence_manifest,
+        )
+
+        layout = pack_sequences(corpus, budget=64, n_shards=4)
+        seqs = materialize_sequences(layout, corpus, 64).collect()
+        man = {
+            (r.shard, r.seq_id): r.n_tokens
+            for r in sequence_manifest(layout, 64).collect()
+        }
+        # token counts agree with the manifest for every sequence
+        assert {(r.shard, r.seq_id): r.n_tokens for r in seqs} == man
+        # joining each shard's sequences in order reproduces the exact
+        # token stream laid down by the layout
+        docs_toks = {
+            r.doc_id: r.t.split(" ") if r.t else []
+            for r in corpus.selectExpr(
+                "doc_id",
+                "array_join(filter(split(lower(text), '\\\\s+'), "
+                "x -> x != ''), ' ') AS t",
+            ).collect()
+        }
+        lay = {}
+        for r in layout.collect():
+            lay.setdefault(r.shard, []).append(r)
+        got_by_shard = {}
+        for r in seqs:
+            got_by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in lay.items():
+            rows.sort(key=lambda r: r.start_offset)
+            want = [t for r in rows for t in docs_toks[r.doc_id]]
+            srows = sorted(got_by_shard[shard], key=lambda r: r.seq_id)
+            got = [t for r in srows for t in (r.seq_text.split(" ") if r.seq_text else [])]
+            assert got == want
+            # all but the last sequence hold exactly 64 tokens
+            for r in srows[:-1]:
+                assert r.n_tokens == 64
