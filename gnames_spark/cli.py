@@ -479,11 +479,23 @@ def main(argv: list[str] | None = None) -> int:
 
             reps = select_representatives(pipe.io.read(spark, "components"))
         kept = reps.filter(F.col("is_representative")).select("doc_id")
-        train = docs_tbl.join(kept, "doc_id").select("doc_id", "lang", "text")
+        # lang is optional in the input contract; the mix needs it, the
+        # packer does not
+        if args.mix_alpha is not None and "lang" not in docs_tbl.columns:
+            print("--mix-alpha needs a lang column on the input",
+                  file=sys.stderr)
+            return 2
+        lang_cols = ["lang"] if "lang" in docs_tbl.columns else []
+        train = docs_tbl.join(kept, "doc_id").select(
+            "doc_id", *lang_cols, "text"
+        )
         if args.mix_alpha is not None:
             train = temperature_mix(
                 train, "lang", args.mix_alpha, salt=args.mix_salt
             )
+        # consumed twice (training_set write + the packer): cut lineage
+        # once instead of re-running the join + mix per consumer
+        train = train.localCheckpoint(eager=True)
         train.drop("text").write.mode("overwrite").parquet(
             f"{out}/training_set"
         )

@@ -75,7 +75,6 @@ def pack_sequences_incremental(
         "shard", F.col("total_tokens").alias("_base_tail")
     )
     start = F.col("start_offset") + F.col("_base_tail")
-    cum = start + F.col("n_tokens")
     return (
         layout.join(F.broadcast(base), "shard", "left")
         .withColumn("_base_tail", F.coalesce("_base_tail", F.lit(0)))
@@ -84,13 +83,18 @@ def pack_sequences_incremental(
             "shard",
             start.cast("long").alias("start_offset"),
             "n_tokens",
-            F.floor(start / budget).cast("long").alias("first_seq"),
-            F.floor(
-                F.when(F.col("n_tokens") > 0, cum - 1).otherwise(start)
-                / budget
-            )
-            .cast("long")
-            .alias("last_seq"),
+        )
+        .select(
+            id_col,
+            "shard",
+            "start_offset",
+            "n_tokens",
+            F.expr(f"start_offset DIV {budget}").alias("first_seq"),
+            F.expr(
+                f"CASE WHEN n_tokens > 0 "
+                f"THEN (start_offset + n_tokens - 1) DIV {budget} "
+                f"ELSE start_offset DIV {budget} END"
+            ).alias("last_seq"),
         )
     )
 
@@ -202,17 +206,15 @@ def pack_stats(layout: DataFrame, budget: int) -> DataFrame:
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
     agg = layout.groupBy("shard").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
-    n_seqs = F.floor(
-        (F.col("total_tokens") + F.lit(budget - 1)) / F.lit(budget)
-    )
+    n_seqs = F.expr(f"(total_tokens + {budget - 1}) DIV {budget}")
     return agg.select(
         "shard",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("total_tokens").cast("long").alias("total_tokens"),
-        n_seqs.cast("long").alias("n_seqs"),
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
         F.when(
             F.col("total_tokens") > 0,
             F.round(
@@ -242,6 +244,12 @@ def pack_sequences(
     doc touches sequences first_seq..last_seq (inclusive; a doc longer
     than ``budget`` spans several, an empty doc touches the one its
     offset points into).
+
+    ``id_col`` is expected unique (it is a doc id); duplicate ids are
+    laid out as separate rows (ROWS window frame — identical rows get
+    consecutive, non-overlapping offsets, never the same one).
+    Sequence ids use integer DIV, never float division — exact at any
+    stream offset.
     """
     _validate(budget, n_shards)
     t = docs.select(
@@ -249,7 +257,11 @@ def pack_sequences(
         F.size(tokens(text_col)).alias("n_tokens"),
         hash_prefix(id_col, salt).alias("h"),
     ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
-    w = W.partitionBy("shard").orderBy("h", id_col)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     cum = F.sum("n_tokens").over(w)
     start = cum - F.col("n_tokens")
     return t.select(
@@ -257,10 +269,15 @@ def pack_sequences(
         "shard",
         start.cast("long").alias("start_offset"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.floor(start / budget).cast("long").alias("first_seq"),
-        F.floor(
-            F.when(F.col("n_tokens") > 0, cum - 1).otherwise(start) / budget
-        )
-        .cast("long")
-        .alias("last_seq"),
+    ).select(
+        id_col,
+        "shard",
+        "start_offset",
+        "n_tokens",
+        F.expr(f"start_offset DIV {budget}").alias("first_seq"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 "
+            f"THEN (start_offset + n_tokens - 1) DIV {budget} "
+            f"ELSE start_offset DIV {budget} END"
+        ).alias("last_seq"),
     )

@@ -110,14 +110,21 @@ def temperature_mix(
     the deterministic md5-prefix uniform (portable, rerun-stable).
 
     The rates join broadcasts (|strata| rows); the keep decision stays
-    a codegen filter — no shuffle of the data side."""
+    a codegen filter — no shuffle of the data side. The join is
+    NULL-SAFE: rows with a NULL stratum form their own stratum (and so
+    survive alpha=1 like everyone else) instead of being silently
+    dropped by a plain equi-join."""
     rates = temperature_rates(df, stratum_col, alpha).select(
-        stratum_col, F.col("rate").alias("_tm_rate")  # avoid user columns
+        F.col(stratum_col).alias("_tm_stratum"),  # avoid user columns
+        F.col("rate").alias("_tm_rate"),
     )
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("_tm_stratum")),
+        )
         .filter(hash_uniform(key_col, salt) < F.col("_tm_rate"))
-        .drop("_tm_rate")
+        .drop("_tm_stratum", "_tm_rate")
     )
 
 

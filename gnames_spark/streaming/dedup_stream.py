@@ -471,16 +471,19 @@ def streaming_packing(
         tail = state.get[0] if state.exists else 0
         shard = int(key[0])
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["h", "doc_id"]).drop_duplicates("doc_id")
-            for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
-                n = int(n)
-                start = tail
-                tail += n
-                last = (tail - 1) // budget if n > 0 else start // budget
-                rows.append(
-                    (int(did), shard, start, n, start // budget, last)
-                )
+        # a group larger than one Arrow batch arrives as several chunks:
+        # ordering is a GROUP property, so concatenate before sorting —
+        # per-chunk sorting would interleave offsets wrongly. Duplicate
+        # ids (malformed input) lay out as separate rows, exactly like
+        # the batch operator's ROWS window frame.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["h", "doc_id"])
+        for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            start = tail
+            tail += n
+            last = (tail - 1) // budget if n > 0 else start // budget
+            rows.append((int(did), shard, start, n, start // budget, last))
         state.update((tail,))
         yield pd.DataFrame(rows, columns=cols)
 

@@ -230,3 +230,18 @@ class TestMaterializeSequences:
             # all but the last sequence hold exactly 64 tokens
             for r in srows[:-1]:
                 assert r.n_tokens == 64
+
+
+class TestDuplicateIds:
+    def test_duplicate_ids_get_disjoint_offsets(self, spark):
+        rows = [(7, "a b c"), (7, "a b c"), (8, "d e")]
+        layout = pack_sequences(
+            spark.createDataFrame(rows, ["doc_id", "text"]), 64, 1
+        ).collect()
+        assert len(layout) == 3
+        offs = sorted((r.start_offset, r.n_tokens) for r in layout)
+        pos = 0
+        for start, n in offs:  # contiguous, never overlapping
+            assert start == pos
+            pos += n
+        assert pos == 8

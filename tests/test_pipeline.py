@@ -404,3 +404,31 @@ class TestCurationTail:
             for r in rows:
                 assert r.start_offset == pos
                 pos += r.n_tokens
+
+    def test_cli_pack_only_without_lang(self, spark, tmp_path):
+        """--pack-budget alone works on a (url, text)-only corpus —
+        packing never needed lang."""
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 120, seed=SEED).select("url", "text")
+        inp = str(tmp_path / "pages2.parquet")
+        pages.write.parquet(inp)
+        out = str(tmp_path / "out2")
+        assert main([
+            "--input", inp, "--output", out, "--shuffle-partitions", "4",
+            "--pack-budget", "64", "--pack-shards", "2",
+        ]) == 0
+        layout = spark.read.parquet(f"{out}/training_layout")
+        assert layout.count() > 0
+        assert "lang" not in spark.read.parquet(f"{out}/training_set").columns
+
+    def test_cli_mix_without_lang_fails_fast(self, spark, tmp_path):
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 60, seed=SEED).select("url", "text")
+        inp = str(tmp_path / "pages3.parquet")
+        pages.write.parquet(inp)
+        assert main([
+            "--input", inp, "--output", str(tmp_path / "out3"),
+            "--shuffle-partitions", "4", "--mix-alpha", "0.5",
+        ]) == 2

@@ -151,3 +151,16 @@ class TestTemperatureMix:
             temperature_rates(skewed, "lang", 1.5)
         with pytest.raises(ValueError):
             temperature_mix(skewed, "lang", -0.1)
+
+
+class TestTemperatureMixNullStratum:
+    def test_null_stratum_is_its_own_stratum(self, spark):
+        rows = [(i, "en" if i < 80 else None) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        # alpha=1 keeps EVERYTHING, null-lang rows included
+        assert temperature_mix(df, "lang", 1.0, salt="n").count() == 100
+        rates = {r.lang: r.rate for r in temperature_rates(df, "lang", 0.0).collect()}
+        assert rates[None] == 1.0  # smallest stratum (20 rows)
+        out = temperature_mix(df, "lang", 0.0, salt="n")
+        nulls = out.filter(F.col("lang").isNull()).count()
+        assert nulls == 20  # rate 1.0 exact, none silently dropped
