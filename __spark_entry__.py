@@ -414,6 +414,28 @@ def q_dedup_quality_representatives(spark, sf_dir):
     return out.select("doc_id", "component_id", "rep_doc", "is_representative")
 
 
+def q_dedup_domain_blocklist(spark, sf_dir):
+    """Crawl-hygiene domain blocklist (functions/urlnorm.py
+    filter_blocked_domains): hosts synthesized from doc_id/source,
+    blocked exactly or as any-subdomain-of via the exploded-suffix
+    equi-join (never a LIKE scan). Oracle replays host parsing, the
+    suffix expansion, and the anti-join in DuckDB."""
+    from gnames_spark.functions.urlnorm import filter_blocked_domains
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat('https://', "
+            "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END, "
+            "source, '.example.com/p/', cast(doc_id as string))"
+        ).alias("url"),
+    )
+    return filter_blocked_domains(
+        docs, ["src3.example.com", "ads.src7.example.com"]
+    ).select("doc_id", "source", "url")
+
+
 def q_dedup_curation_end_to_end(spark, sf_dir):
     """The whole curation chain as ONE query: near-dup components →
     quality-aware representative keep (most tokens wins) →
@@ -1867,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_manifest": q_text_pack_manifest,
         "text_quality_calibration": q_text_quality_calibration,
         "text_pack_materialize": q_text_pack_materialize,
+        "dedup_domain_blocklist": q_dedup_domain_blocklist,
         "events_sessionization": q_events_sessionization,
         "q1_pricing_summary": q_q1_pricing_summary,
         "o6_topk_per_group": q_o6_topk_per_group,
@@ -2879,6 +2902,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.doc_id, j.component_id, r.rep_doc,
                    (j.doc_id = r.rep_doc) AS is_representative
             FROM j JOIN reps r USING (component_id)
+        """,
+        "dedup_domain_blocklist": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     concat('https://',
+                            CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END,
+                            source, '.example.com/p/',
+                            cast(doc_id as varchar)) AS url
+              FROM documents
+            ), hosts AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(regexp_extract(url,
+                         '^[^:/?#]+://([^/:?#]+)', 1)), '^www\\.', ''),
+                         '.') AS labels
+              FROM d
+            ), sufs AS (
+              SELECT doc_id,
+                     array_to_string(labels[i:], '.') AS suf
+              FROM (SELECT doc_id, labels,
+                           unnest(range(1, len(labels) + 1)) AS i
+                    FROM hosts)
+            ), hit AS (
+              SELECT DISTINCT doc_id FROM sufs
+              WHERE suf IN ('src3.example.com', 'ads.src7.example.com')
+            )
+            SELECT d.doc_id, d.source, d.url
+            FROM d ANTI JOIN hit USING (doc_id)
         """,
         "text_pack_materialize": f"""
             WITH t AS (

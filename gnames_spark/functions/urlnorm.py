@@ -90,3 +90,59 @@ def latest_snapshot(
         )
         .select("canonical_url", "n_snapshots", "w.*")
     )
+
+
+def _host_sql(col: str) -> str:
+    host = f"lower(regexp_extract({col}, '^[^:/?#]+://([^/:?#]+)', 1))"
+    return (
+        f"CASE WHEN {col} RLIKE '^[^:/?#]+://' THEN "
+        f"regexp_replace({host}, '^www\\\\.', '') END"
+    )
+
+
+def url_host(col: str = "url") -> Column:
+    """Lowercase host of ``col`` (port and a leading ``www.`` label
+    stripped); NULL for values with no ``scheme://``."""
+    return F.expr(_host_sql(col))
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: list[str] | DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop docs whose URL host matches a blocked domain — exactly, or
+    as any-subdomain-of (``bad.example.com`` blocks
+    ``a.b.bad.example.com``). The standard crawl-hygiene blocklist gate
+    (spam / SEO-farm / adult domain lists).
+
+    Mechanics: each host explodes into its dotted suffixes
+    (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``), which left-semi join the
+    blocklist to find hit ids; the docs side then anti-joins the hits.
+    The match is an equi-join, never a LIKE scan, and the blocklist
+    side broadcasts (real lists are ≤ millions of rows; Spark falls
+    back to a shuffled join past the threshold). Docs with no
+    parseable host pass through (the gate blocks crawl URLs, not
+    data-table keys)."""
+    spark = docs.sparkSession
+    if isinstance(blocklist, list):
+        bl = spark.createDataFrame(
+            [(d.lower().lstrip("."),) for d in blocklist], ["_blocked"]
+        )
+    else:
+        bl = blocklist.toDF("_blocked").select(
+            F.lower("_blocked").alias("_blocked")
+        )
+    labels = f"split({_host_sql(url_col)}, '\\\\.')"
+    suffixes = F.expr(
+        f"transform(sequence(1, size({labels})), "
+        f"i -> array_join(slice({labels}, i, size({labels})), '.'))"
+    )
+    hit = (
+        docs.select(id_col, F.explode(suffixes).alias("_blocked"))
+        .join(F.broadcast(bl), "_blocked", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hit, id_col, "left_anti")

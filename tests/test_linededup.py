@@ -382,3 +382,46 @@ class TestDupNgramChars:
         assert out[2].n_grams == 6 and out[2].dup_gram_char_frac == 0.0
         # doc 3: no grams at all
         assert out[3].n_grams == 0 and out[3].dup_gram_char_frac == 0.0
+
+
+class TestDomainBlocklist:
+    def test_blocks_exact_and_subdomains(self, spark):
+        from gnames_spark.functions.urlnorm import filter_blocked_domains
+
+        rows = [
+            (1, "https://bad.example.com/p"),
+            (2, "https://a.b.bad.example.com/q"),      # subdomain: blocked
+            (3, "https://good.example.com/p"),
+            (4, "https://notbad.example.com/p"),        # suffix-of-label: kept
+            (5, "https://WWW.BAD.EXAMPLE.COM:443/x"),   # case + www + port
+            (6, "doc://123"),                           # no host: passes
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "url"])
+        kept = {
+            r.doc_id
+            for r in filter_blocked_domains(docs, ["bad.example.com"]).collect()
+        }
+        assert kept == {3, 4, 6}
+
+    def test_blocklist_as_dataframe_and_tld_block(self, spark):
+        from gnames_spark.functions.urlnorm import filter_blocked_domains
+
+        docs = spark.createDataFrame(
+            [(1, "https://x.spam/p"), (2, "https://x.org/p")],
+            ["doc_id", "url"],
+        )
+        bl = spark.createDataFrame([("SPAM",)], ["domain"])
+        kept = {r.doc_id for r in filter_blocked_domains(docs, bl).collect()}
+        assert kept == {2}  # whole-TLD block, case-normalized
+
+    def test_url_host(self, spark):
+        from gnames_spark.functions.urlnorm import url_host
+
+        rows = [("https://www.A.B.com:443/x?q=1",), ("not-a-url",)]
+        got = [
+            r.h
+            for r in spark.createDataFrame(rows, ["url"])
+            .select(url_host("url").alias("h"))
+            .collect()
+        ]
+        assert got == ["a.b.com", None]  # lowercased, www/port stripped
