@@ -137,6 +137,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "set concat-and-cut and writes <out>/training_layout")
     p.add_argument("--pack-shards", type=int, default=64)
     p.add_argument("--pack-salt", default="pack")
+    p.add_argument("--blocked-domains", default=None,
+                   help="comma-separated domain blocklist; pages whose "
+                        "URL host matches a listed domain (exactly or "
+                        "as a subdomain) are dropped before any other "
+                        "gate")
     p.add_argument("--preclean-report", action="store_true",
                    help="dry-run the configured hygiene gates over "
                         "--input, print + write the per-gate "
@@ -165,6 +170,10 @@ def _config_from_args(args: argparse.Namespace):
         overrides["collapse_url_snapshots"] = True
     if args.redact_pii:
         overrides["redact_pii"] = True
+    if args.blocked_domains:
+        overrides["blocked_domains"] = tuple(
+            d.strip() for d in args.blocked_domains.split(",") if d.strip()
+        )
     return DedupConfig(**overrides)
 
 

@@ -155,6 +155,12 @@ class DedupConfig:
     #      tokens (functions/pii.py) — AFTER the dedup-relevant
     #      cleaning but before hashing, so two pages differing only in
     #      a contact address dedup exactly.
+    #   0. blocked_domains: drop pages whose URL host matches a listed
+    #      domain exactly or as any-subdomain-of
+    #      (functions/urlnorm.filter_blocked_domains) — runs FIRST,
+    #      before any extraction-derived gate, because it needs only
+    #      the url column. Empty tuple = off.
+    blocked_domains: tuple[str, ...] = ()
     collapse_url_snapshots: bool = False
     strip_shared_lines_min_docs: int | None = None
     max_dup_line_frac: float | None = None

@@ -194,9 +194,9 @@ class DedupPipeline:
     def _apply_preclean(
         self, df: DataFrame, audit: list | None = None
     ) -> DataFrame:
-        """The config-gated hygiene chain (collapse → strip →
-        repetition gate → PII redaction), shared by prepare_docs and
-        preclean_report so the two can never drift. With ``audit``
+        """The config-gated hygiene chain (domain blocklist → collapse
+        → strip → repetition gate → PII redaction), shared by
+        prepare_docs and preclean_report so the two can never drift. With ``audit``
         (a list), each gate appends (gate, n_in, n_out, detail) —
         counting costs extra jobs, so the pipeline path passes None
         and pays nothing."""
@@ -208,6 +208,21 @@ class DedupPipeline:
             # so a count never recomputes the gates before it
             return d.localCheckpoint(eager=True) if auditing else d
 
+        if cfg.blocked_domains:
+            from gnames_spark.functions.urlnorm import filter_blocked_domains
+
+            n_in = df.count() if auditing else None
+            df = ckpt(
+                filter_blocked_domains(
+                    df, list(cfg.blocked_domains), id_col="url"
+                )
+            )
+            if auditing:
+                audit.append(
+                    ("blocked_domains", n_in, df.count(),
+                     f"{len(cfg.blocked_domains)} blocked domains "
+                     f"(exact + subdomains)")
+                )
         if cfg.collapse_url_snapshots:
             from gnames_spark.functions.urlnorm import latest_snapshot
 

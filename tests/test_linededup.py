@@ -425,3 +425,40 @@ class TestDomainBlocklist:
             .collect()
         ]
         assert got == ["a.b.com", None]  # lowercased, www/port stripped
+
+
+class TestBlocklistGate:
+    def test_blocklist_in_preclean_and_report(self, spark):
+        from gnames_spark.config import DedupConfig
+        from gnames_spark.pipeline import DedupPipeline
+
+        import datetime as dt
+
+        t0 = dt.datetime(2025, 1, 1)
+        rows = [
+            ("https://spamfarm.biz/a", t0, "junk content words here", "en"),
+            ("https://x.spamfarm.biz/b", t0, "more junk from a subdomain", "en"),
+            ("https://fine.org/c", t0,
+             "a perfectly ordinary page body with many plain words", "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string, lang string"
+        )
+        cfg = DedupConfig(
+            shuffle_partitions=4, blocked_domains=("spamfarm.biz",)
+        )
+        pipe = DedupPipeline(spark, cfg)
+        docs = pipe.prepare_docs(pages)
+        assert {r.url for r in docs.select("url").collect()} == {
+            "https://fine.org/c"
+        }
+        report = {r.gate: r for r in pipe.preclean_report(pages).collect()}
+        assert report["blocked_domains"].n_in == 3
+        assert report["blocked_domains"].n_out == 1
+
+    def test_config_hash_sees_blocklist(self):
+        from gnames_spark.config import DedupConfig
+
+        a = DedupConfig()
+        b = DedupConfig(blocked_domains=("bad.example",))
+        assert a.config_hash() != b.config_hash()

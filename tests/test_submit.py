@@ -34,6 +34,7 @@ def test_cli_args_map_onto_config():
             "--num-perms", "64", "--bands", "16", "--rows-per-band", "4",
             "--jaccard-threshold", "0.7", "--lang-filter", "en",
             "--cc-salt-buckets", "8",
+            "--blocked-domains", "bad.example, spam.biz,",
         ]
     )
     cfg = _config_from_args(args)
@@ -42,6 +43,7 @@ def test_cli_args_map_onto_config():
     assert cfg.jaccard_threshold == 0.7
     assert cfg.lang_filter == "en"
     assert cfg.cc_salt_buckets == 8
+    assert cfg.blocked_domains == ("bad.example", "spam.biz")
     # untouched knobs keep their defaults (recall-gate reproducibility)
     from gnames_spark.config import DedupConfig
 
