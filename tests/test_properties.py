@@ -418,3 +418,44 @@ class TestWinnowingProperties:
         cfg = DedupConfig()
         min_tokens = 2 * cfg.winnow_window + cfg.shingle_k - 1
         assert cfg.substring_guarantee_chars() >= min_tokens
+
+
+class TestPackingProperties:
+    """Pure-Python replay of the packing layout law — no Spark here
+    (Spark-side equivalence is pinned by the DuckDB oracle and
+    tests/test_packing.py); this checks the LAYOUT ALGEBRA itself on
+    arbitrary token-count multisets."""
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=300), max_size=60),
+        st.integers(min_value=1, max_value=64),
+    )
+    def test_layout_law(self, token_counts, budget):
+        # replicate pack_sequences' math: contiguous offsets, DIV seqs
+        pos = 0
+        for n in token_counts:
+            start = pos
+            pos += n
+            first = start // budget
+            last = (pos - 1) // budget if n > 0 else start // budget
+            assert first <= last
+            # the span covers exactly the sequences the doc's tokens
+            # touch: token t at stream position start+t lies in
+            # sequence (start+t)//budget
+            if n > 0:
+                assert first == start // budget
+                assert last == (start + n - 1) // budget
+            # manifest overlap arithmetic conserves the doc's tokens
+            total = 0
+            for s in range(first, last + 1):
+                lo = max(start, s * budget)
+                hi = min(pos, (s + 1) * budget)
+                if n > 0:
+                    assert hi > lo
+                    total += hi - lo
+            if n > 0:
+                assert total == n
+        # stats law: ceil-div sequence count bounds every per-doc last
+        n_seqs = (pos + budget - 1) // budget
+        if token_counts and pos > 0:
+            assert (pos - 1) // budget == n_seqs - 1
