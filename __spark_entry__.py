@@ -2844,7 +2844,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             mixed AS (
               SELECT kd.doc_id, kd.lang, kd.n_tokens
-              FROM kd JOIN rates USING (lang)
+              FROM kd JOIN rates ON kd.lang IS NOT DISTINCT FROM rates.lang
               WHERE cast(('0x' || substr(md5(concat('cur1',
                       cast(doc_id as varchar))), 1, 8)) as bigint)
                     / 4294967296.0 < rate
@@ -3057,7 +3057,8 @@ def oracle_sql() -> dict[str, str]:
               FROM counts, eff
             )
             SELECT d.doc_id, d.lang
-            FROM documents d JOIN rates r USING (lang)
+            FROM documents d
+            JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
             WHERE cast(('0x' || substr(md5(concat('temp1',
                     cast(d.doc_id as varchar))), 1, 8)) as bigint)
                   / 4294967296.0 < r.rate

@@ -482,6 +482,11 @@ def main(argv: list[str] | None = None) -> int:
             docs_tbl = pipe.io.read(spark, "docs")
         reps = res.get("representatives")
         if reps is None:  # already-promoted incremental re-run
+            if pipe.io is None or not pipe.io.is_complete("components"):
+                print("--mix-alpha/--pack-budget need the components "
+                      "table: run with --checkpoint-dir or in batch mode",
+                      file=sys.stderr)
+                return 2
             from gnames_spark.operators.representatives import (
                 select_representatives,
             )

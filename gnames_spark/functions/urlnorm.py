@@ -106,6 +106,13 @@ def url_host(col: str = "url") -> Column:
     return F.expr(_host_sql(col))
 
 
+def _norm_blocklist_entry(d: str) -> str:
+    """Normalize a blocklist entry the way url_host normalizes hosts:
+    lowercase, strip leading dots, strip one leading 'www.' label."""
+    e = d.lower().lstrip(".")
+    return e[4:] if e.startswith("www.") else e
+
+
 def filter_blocked_domains(
     docs: DataFrame,
     blocklist: list[str] | DataFrame,
@@ -127,12 +134,20 @@ def filter_blocked_domains(
     data-table keys)."""
     spark = docs.sparkSession
     if isinstance(blocklist, list):
+        # entries get the SAME normalization as extracted hosts (lower
+        # + leading-dot strip + one leading 'www.' label), so a
+        # user-supplied 'www.bad.com' blocks bad.com and its subdomains
+        # instead of silently never matching
         bl = spark.createDataFrame(
-            [(d.lower().lstrip("."),) for d in blocklist], ["_blocked"]
+            [(_norm_blocklist_entry(d),) for d in blocklist], ["_blocked"]
         )
     else:
         bl = blocklist.toDF("_blocked").select(
-            F.lower("_blocked").alias("_blocked")
+            F.regexp_replace(
+                F.regexp_replace(F.lower("_blocked"), r"^\.+", ""),
+                r"^www\.",
+                "",
+            ).alias("_blocked")
         )
     labels = f"split({_host_sql(url_col)}, '\\\\.')"
     suffixes = F.expr(

@@ -37,23 +37,28 @@ HASH_DENOM = float(1 << 32)
 _SALT_RE = re.compile(r"[A-Za-z0-9._:-]*\Z")
 
 
-def hash_prefix(key_col: str, salt: str = "") -> Column:
+def hash_prefix(key_col: str | Column, salt: str = "") -> Column:
     """Raw 32-bit md5-prefix of (salt, key) as a bigint in [0, 2^32) —
     the engine-portable hash every deterministic draw here derives from
     (DuckDB side: ``cast(('0x' || substr(md5(..), 1, 8)) as bigint)``).
 
-    ``salt`` is restricted to [A-Za-z0-9._:-] — it is spliced into a
-    SQL literal, and a run/date tag never needs more.
+    ``key_col`` is a column name or a Column, resolved through the
+    Column API (never spliced into SQL text, so arbitrary column names
+    are safe). ``salt`` is restricted to [A-Za-z0-9._:-] — it is part
+    of the cross-engine reproducibility contract (the auditor engine
+    concatenates it verbatim), and a run/date tag never needs more.
     """
     if not _SALT_RE.match(salt):
         raise ValueError(f"salt must match [A-Za-z0-9._:-]*: {salt!r}")
-    return F.expr(
-        f"cast(conv(substring(md5(concat('{salt}', "
-        f"cast({key_col} as string))), 1, 8), 16, 10) as bigint)"
-    )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
 
 
-def hash_uniform(key_col: str, salt: str = "") -> Column:
+def hash_uniform(key_col: str | Column, salt: str = "") -> Column:
     """Deterministic uniform [0,1) per row: md5-prefix of (salt, key)."""
     return hash_prefix(key_col, salt) / F.lit(HASH_DENOM)
 

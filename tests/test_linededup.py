@@ -403,6 +403,32 @@ class TestDomainBlocklist:
         }
         assert kept == {3, 4, 6}
 
+    def test_www_prefixed_entries_normalized(self, spark):
+        # a user-supplied 'www.bad.com' entry must block bad.com and
+        # its subdomains, same normalization as the host side
+        from gnames_spark.functions.urlnorm import filter_blocked_domains
+
+        rows = [
+            (1, "https://bad.example.com/p"),
+            (2, "https://www.bad.example.com/p"),
+            (3, "https://sub.bad.example.com/p"),
+            (4, "https://good.example.com/p"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "url"])
+        kept = {
+            r.doc_id
+            for r in filter_blocked_domains(
+                docs, ["WWW.bad.example.com"]
+            ).collect()
+        }
+        assert kept == {4}
+        # same contract on the DataFrame branch
+        bl = spark.createDataFrame([(".www.bad.example.com",)], ["domain"])
+        kept_df = {
+            r.doc_id for r in filter_blocked_domains(docs, bl).collect()
+        }
+        assert kept_df == {4}
+
     def test_blocklist_as_dataframe_and_tld_block(self, spark):
         from gnames_spark.functions.urlnorm import filter_blocked_domains
 

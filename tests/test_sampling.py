@@ -78,6 +78,20 @@ class TestHashSampling:
         with pytest.raises(ValueError):
             hash_uniform("doc_id", "bad'salt")
 
+    def test_key_col_resolved_not_spliced(self, spark):
+        # column names go through the Column API: a name that would be
+        # SQL if spliced resolves as a literal identifier, and a Column
+        # object is accepted directly
+        from gnames_spark.operators.sampling import hash_prefix
+
+        df = spark.createDataFrame([(7, "x")], ["id", "weird' col--"])
+        a = df.select(hash_prefix("weird' col--", "s").alias("h")).first().h
+        b = df.select(
+            hash_prefix(F.col("weird' col--"), "s").alias("h")
+        ).first().h
+        c = df.select(hash_prefix(F.lit("x"), "s").alias("h")).first().h
+        assert a == b == c
+
 
 @pytest.fixture(scope="module")
 def skewed(spark):
