@@ -50,6 +50,7 @@ def pack_sequences_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "pack",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Append a new batch to standing shard streams: each shard's new
     docs lay out AFTER the base tail, so already-packed docs never
@@ -60,8 +61,9 @@ def pack_sequences_incremental(
 
     ``base_stats`` is the :func:`pack_stats` output of the standing
     layout (only (shard, total_tokens) is read; shards with no base
-    docs start at 0). Same config (budget, n_shards, salt) must be
-    used — offsets are meaningless across configs.
+    docs start at 0). Same config (budget, n_shards, salt, and token
+    definition / tokens_col) must be used — offsets are meaningless
+    across configs.
 
     Scale: the increment pays exactly a fresh :func:`pack_sequences`
     over the new batch; the base is touched only through its
@@ -69,7 +71,7 @@ def pack_sequences_incremental(
     _validate(budget, n_shards)
     layout = pack_sequences(
         new_docs, budget, n_shards, text_col=text_col, id_col=id_col,
-        salt=salt,
+        salt=salt, tokens_col=tokens_col,
     )
     base = base_stats.select(
         "shard", F.col("total_tokens").alias("_base_tail")
@@ -233,9 +235,20 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "pack",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc packing layout: (id, shard, start_offset, n_tokens,
     first_seq, last_seq).
+
+    Token definition is PLUGGABLE: with ``tokens_col`` the layout reads
+    a precomputed per-doc token count (non-negative — e.g. a real BPE
+    tokenizer count computed upstream) instead of counting whitespace
+    tokens of ``text_col``. The layout algebra is token-definition-
+    agnostic (it only sums counts), so a production pipeline packs on
+    TOKENIZER tokens by passing the column — budget then means what the
+    trainer means by it. :func:`materialize_sequences` remains
+    whitespace-token-based (it slices the actual text stream) and is
+    only meaningful for layouts computed with the default counter.
 
     Each doc is hashed to one of ``n_shards`` independent token
     streams; within its shard the stream order is (hash, id). The doc
@@ -252,9 +265,14 @@ def pack_sequences(
     stream offset.
     """
     _validate(budget, n_shards)
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.size(tokens(text_col)).cast("long")
+    )
     t = docs.select(
         id_col,
-        F.size(tokens(text_col)).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         hash_prefix(id_col, salt).alias("h"),
     ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
     w = (

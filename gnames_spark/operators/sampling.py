@@ -133,6 +133,107 @@ def temperature_mix(
     )
 
 
+def deterministic_repeat(
+    df: DataFrame,
+    rate_col: str | Column,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Repeat each row to hit an arbitrary per-row target rate >= 0 —
+    deterministically in (salt, key). Each row is emitted
+    floor(rate) + 1 times if its md5-prefix uniform falls below
+    frac(rate), else floor(rate) times, so per-row expected
+    multiplicity is EXACTLY its rate, and every engine recomputing the
+    draw gets the same copies. Adds a 0-based ``copy`` column; rows
+    whose resolved copy count is 0 disappear (rate < 1 therefore
+    subsumes down-sampling: floor = 0, keep-one with probability rate).
+
+    Scale: a codegen filter + a bounded explode (ceil(rate) rows out
+    per row in) — no shuffle, no Python, no driver state. The explode
+    FOLLOWS any filter Catalyst can push to the scan, and output size
+    is sum(rate) rows by construction."""
+    rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    n_copies = (
+        F.floor(rate) + (hash_uniform(key_col, salt) < rate - F.floor(rate)).cast("long")
+    )
+    return (
+        df.withColumn("_dr_n", n_copies)
+        .filter(F.col("_dr_n") > 0)
+        .withColumn(
+            "copy",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_dr_n") - 1)),
+        )
+        .drop("_dr_n")
+    )
+
+
+def repeat_rates(df: DataFrame, stratum_col: str, alpha: float) -> DataFrame:
+    """Per-stratum REPEAT rates for temperature-``alpha`` upsampling:
+    rate_s = max_t(c_t^(1-alpha)) / c_s^(1-alpha) >= 1, rounded to 6
+    digits (the same cross-engine contract as temperature_rates).
+
+    The mirror image of :func:`temperature_rates`: instead of anchoring
+    the SMALLEST c^(1-alpha) at keep-rate 1 and down-sampling the rest,
+    it anchors the LARGEST at one copy and REPEATS every other stratum
+    (fractional epochs), so expected emitted sizes follow the same
+    c^alpha law without discarding any head-stratum data — the
+    low-resource-language recipe. alpha=1 emits everything once;
+    alpha=0 equalizes expected stratum sizes at the head's count.
+
+    Scale: one map-side-combinable count per stratum; |strata| rows."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_total"))
+    eff = counts.agg(
+        F.max(F.pow(F.col("n_total"), F.lit(1.0 - alpha))).alias("_m")
+    )
+    return counts.crossJoin(F.broadcast(eff)).select(
+        stratum_col,
+        "n_total",
+        F.round(
+            F.col("_m") / F.pow(F.col("n_total"), F.lit(1.0 - alpha)), 6
+        ).alias("rate"),
+    )
+
+
+def temperature_repeat(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-``alpha`` corpus mix by UPSAMPLING: repeat each
+    low-resource stratum rate_s = max_t(c_t^(1-alpha)) / c_s^(1-alpha)
+    times in expectation (integer repeats + one hash-decided fractional
+    copy per doc, :func:`deterministic_repeat`), so emitted sizes
+    follow the c^alpha law while the head stratum keeps exactly one
+    copy of everything. The down-sampling dual of
+    :func:`temperature_mix` — use this when low-resource strata must
+    be repeated (fractional epochs), not when the corpus must shrink.
+    Adds a 0-based ``copy`` column.
+
+    The rates join broadcasts (|strata| rows) and is NULL-SAFE (a NULL
+    stratum is its own stratum); the repeat is a codegen filter +
+    bounded explode — no shuffle of the data side."""
+    rates = repeat_rates(df, stratum_col, alpha).select(
+        F.col(stratum_col).alias("_tr_stratum"),
+        F.col("rate").alias("_tr_rate"),
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("_tr_stratum")),
+        )
+        .transform(
+            lambda d: deterministic_repeat(
+                d, F.col("_tr_rate"), key_col=key_col, salt=salt
+            )
+        )
+        .drop("_tr_stratum", "_tr_rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

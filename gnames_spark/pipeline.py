@@ -194,19 +194,37 @@ class DedupPipeline:
     def _apply_preclean(
         self, df: DataFrame, audit: list | None = None
     ) -> DataFrame:
-        """The config-gated hygiene chain (domain blocklist → collapse
-        → strip → repetition gate → PII redaction), shared by
-        prepare_docs and preclean_report so the two can never drift. With ``audit``
-        (a list), each gate appends (gate, n_in, n_out, detail) —
-        counting costs extra jobs, so the pipeline path passes None
-        and pays nothing."""
+        """The full config-gated hygiene chain (domain blocklist →
+        collapse → strip → repetition gate → PII redaction) — the
+        composition of the URL-level and text-level phases below.
+        prepare_docs / preclean_report run the two phases with html
+        extraction BETWEEN them (cheap-screen-before-expensive-work:
+        blocked/stale pages must never pay the extraction kernel — the
+        same discipline as the reference's bloom→trie→DB cascade,
+        /root/reference/PLAN_gnmatcher_embed.md:14-18); this composed
+        form serves callers whose input already carries text."""
+        return self._apply_text_preclean(
+            self._apply_url_preclean(df, audit), audit
+        )
+
+    @staticmethod
+    def _audit_ckpt(df: DataFrame, auditing: bool) -> DataFrame:
+        # audit mode counts between gates: checkpoint each boundary
+        # so a count never recomputes the gates before it
+        return df.localCheckpoint(eager=True) if auditing else df
+
+    def _apply_url_preclean(
+        self, df: DataFrame, audit: list | None = None
+    ) -> DataFrame:
+        """URL-level hygiene gates (domain blocklist, URL snapshot
+        collapse) — they read only ``url``/``warc_ts``, so they run
+        BEFORE html extraction and blocked/stale pages never pay the
+        extraction kernel. With ``audit`` (a list), each gate appends
+        (gate, n_in, n_out, detail) — counting costs extra jobs, so the
+        pipeline path passes None and pays nothing."""
         cfg = self.cfg
         auditing = audit is not None
-
-        def ckpt(d: DataFrame) -> DataFrame:
-            # audit mode counts between gates: checkpoint each boundary
-            # so a count never recomputes the gates before it
-            return d.localCheckpoint(eager=True) if auditing else d
+        ckpt = lambda d: self._audit_ckpt(d, auditing)  # noqa: E731
 
         if cfg.blocked_domains:
             from gnames_spark.functions.urlnorm import filter_blocked_domains
@@ -239,6 +257,18 @@ class DedupPipeline:
                     ("collapse_url_snapshots", n_in, df.count(),
                      "kept newest capture per canonical URL")
                 )
+        return df
+
+    def _apply_text_preclean(
+        self, df: DataFrame, audit: list | None = None
+    ) -> DataFrame:
+        """Text-level hygiene gates (boilerplate line strip → repetition
+        gate → PII redaction) — they read ``text``, so they run AFTER
+        html extraction. Same audit contract as the URL phase."""
+        cfg = self.cfg
+        auditing = audit is not None
+        ckpt = lambda d: self._audit_ckpt(d, auditing)  # noqa: E731
+
         if (
             cfg.strip_shared_lines_min_docs is not None
             or cfg.max_dup_line_frac is not None
@@ -309,12 +339,12 @@ class DedupPipeline:
         'what did each gate cost me' report, without running the dedup
         stages. Runs the EXACT chain prepare_docs runs (shared code
         path; tests pin the final count against prepare_docs)."""
-        df = pages
+        audit: list = []
+        df = self._apply_url_preclean(pages, audit)
         if "html" in df.columns:
             df = df.withColumn("text", extract_text("html")).drop("html")
         df = df.localCheckpoint(eager=True)
-        audit: list = []
-        out = self._apply_preclean(df, audit)
+        out = self._apply_text_preclean(df, audit)
         if self.cfg.lang_filter is not None:
             n_in = out.count()
             kept = out.filter(F.col("lang") == self.cfg.lang_filter)
@@ -337,14 +367,19 @@ class DedupPipeline:
         DedupConfig): snapshot collapse → boilerplate line strip →
         repetition gate — all BEFORE content_sha, so the exact screen
         sees cleaned bytes (two pages differing only by a cookie
-        banner become exact dups after the strip)."""
+        banner become exact dups after the strip). The URL-level gates
+        (domain blocklist, snapshot collapse) run BEFORE html
+        extraction — on a real crawl they drop 30-50% of pages, and
+        those pages must never pay the most expensive kernel in the
+        pipeline (pinned by
+        tests/test_pipeline.py::TestPrecleanOrdering)."""
         cfg = self.cfg
 
         def build():
-            df = pages
+            df = self._apply_url_preclean(pages)
             if "html" in df.columns:
                 df = df.withColumn("text", extract_text("html")).drop("html")
-            df = self._apply_preclean(df)
+            df = self._apply_text_preclean(df)
             if cfg.lang_filter is not None:
                 df = df.filter(F.col("lang") == cfg.lang_filter)
             if "doc_id" not in df.columns:

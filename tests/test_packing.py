@@ -245,3 +245,90 @@ class TestDuplicateIds:
             assert start == pos
             pos += n
         assert pos == 8
+
+
+class TestTokensColPacking:
+    """Pluggable token counting: the layout algebra only sums counts,
+    so a precomputed tokenizer-token column must drive the exact same
+    layout machinery as the default whitespace counter."""
+
+    def test_matching_count_column_gives_identical_layout(self, corpus):
+        # a tokens_col that EQUALS the whitespace count reproduces the
+        # default layout bit-for-bit
+        from gnames_spark.functions.shingles import tokens
+
+        withcol = corpus.withColumn("n_ws", F.size(tokens("text")))
+        a = sorted(
+            tuple(r)
+            for r in pack_sequences(corpus, budget=64, n_shards=4).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in pack_sequences(
+                withcol, budget=64, n_shards=4, tokens_col="n_ws"
+            ).select(
+                "doc_id", "shard", "start_offset", "n_tokens",
+                "first_seq", "last_seq",
+            ).collect()
+        )
+        assert a == b
+
+    def test_bpe_style_count_drives_layout(self, corpus):
+        # the ~4-chars-per-token BPE heuristic as the budget currency:
+        # offsets contiguous per shard, n_tokens read from the column
+        docs = corpus.withColumn(
+            "n_bpe", F.expr("CAST((length(text) + 3) DIV 4 AS LONG)")
+        )
+        out = pack_sequences(
+            docs, budget=64, n_shards=4, tokens_col="n_bpe"
+        ).collect()
+        want = {
+            r.doc_id: r.n_bpe for r in docs.select("doc_id", "n_bpe").collect()
+        }
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert r.n_tokens == want[r.doc_id]
+            by_shard.setdefault(r.shard, []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            for r in rows:
+                assert r.start_offset == pos
+                pos += r.n_tokens
+
+    def test_incremental_respects_tokens_col(self, corpus):
+        from gnames_spark.operators.packing import (
+            pack_sequences_incremental,
+            pack_stats,
+        )
+
+        docs = corpus.withColumn(
+            "n_bpe", F.expr("CAST((length(text) + 3) DIV 4 AS LONG)")
+        )
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        newb = docs.filter(F.col("doc_id") % 2 == 1)
+        base_layout = pack_sequences(
+            base, budget=64, n_shards=4, tokens_col="n_bpe"
+        )
+        inc = pack_sequences_incremental(
+            newb, pack_stats(base_layout, 64), 64, 4, tokens_col="n_bpe"
+        )
+        # append-log contract holds in the plugged token currency: the
+        # combined streams are contiguous and base offsets never moved
+        combined = base_layout.unionByName(inc).collect()
+        by_shard: dict[int, list] = {}
+        for r in combined:
+            by_shard.setdefault(r.shard, []).append(r)
+        base_ids = {r.doc_id for r in base_layout.collect()}
+        for rows in by_shard.values():
+            # base docs first (their offsets are untouched), then new
+            rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            seen_new = False
+            for r in rows:
+                assert r.start_offset == pos
+                pos += r.n_tokens
+                if r.doc_id not in base_ids:
+                    seen_new = True
+                else:
+                    assert not seen_new  # new docs only AFTER the tail

@@ -178,6 +178,95 @@ class TestPipeline:
         assert n_violations == 0
 
 
+class TestPrecleanOrdering:
+    """Cheap-screen-before-expensive-work: the URL-level hygiene gates
+    (domain blocklist, snapshot collapse) read only url/warc_ts, so
+    they must run BEFORE html extraction — on a real crawl they drop
+    30-50% of pages, and those pages must never pay the single most
+    expensive kernel in the pipeline."""
+
+    def test_extraction_never_sees_blocked_or_stale_rows(
+        self, spark, monkeypatch
+    ):
+        import datetime as dt
+
+        from pyspark.sql import types as T
+
+        import gnames_spark.pipeline as pl
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def counting_extract(col):
+            @F.udf(T.StringType())
+            def _u(h):
+                s = bytes(h).decode("utf-8", "replace")
+                if "MUST-NOT-EXTRACT" in s:
+                    acc.add(1)
+                return s
+
+            return _u(F.col(col) if isinstance(col, str) else col)
+
+        monkeypatch.setattr(pl, "extract_text", counting_extract)
+        ts = lambda d: dt.datetime(2026, 1, d)  # noqa: E731
+        rows = [
+            ("https://bad.example.com/p", ts(1), b"MUST-NOT-EXTRACT a"),
+            ("https://sub.bad.example.com/q", ts(1), b"MUST-NOT-EXTRACT b"),
+            ("https://ok.com/a", ts(1), b"MUST-NOT-EXTRACT stale"),
+            ("https://ok.com/a", ts(2), b"fresh snapshot body text"),
+            ("https://fine.com/x", ts(1), b"clean page body text"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary"
+        )
+        cfg = DedupConfig(
+            shuffle_partitions=4,
+            blocked_domains=("bad.example.com",),
+            collapse_url_snapshots=True,
+        )
+        docs = pl.DedupPipeline(spark, cfg).prepare_docs(pages)
+        assert {r.url for r in docs.collect()} == {
+            "https://ok.com/a", "https://fine.com/x"
+        }
+        # the extraction kernel processed ONLY the survivors: no
+        # blocked-domain page, no superseded snapshot
+        assert acc.value == 0
+
+    def test_report_interleaves_extraction_same_counts(
+        self, spark, monkeypatch
+    ):
+        # preclean_report shares the split code path: url gates audit
+        # pre-extraction, text gates post-extraction, same survivors
+        import datetime as dt
+
+        import gnames_spark.pipeline as pl
+
+        ts = lambda d: dt.datetime(2026, 1, d)  # noqa: E731
+        rows = [
+            ("https://bad.example.com/p", ts(1), "blocked body"),
+            ("https://ok.com/a", ts(1), "stale body"),
+            ("https://ok.com/a", ts(2), "fresh body"),
+            ("https://fine.com/x", ts(1), "clean body"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        cfg = DedupConfig(
+            shuffle_partitions=4,
+            blocked_domains=("bad.example.com",),
+            collapse_url_snapshots=True,
+        )
+        pipe = pl.DedupPipeline(spark, cfg)
+        gates = [
+            (r.gate, r.n_in, r.n_out)
+            for r in pipe.preclean_report(pages).collect()
+        ]
+        assert gates == [
+            ("blocked_domains", 4, 3),
+            ("collapse_url_snapshots", 3, 2),
+        ]
+        assert pipe.prepare_docs(pages).count() == 2
+
+
 class TestConfigGuarantee:
     def test_default_config_satisfies_winnow_guarantee(self):
         DedupConfig().validate()

@@ -178,3 +178,199 @@ class TestTemperatureMixNullStratum:
         out = temperature_mix(df, "lang", 0.0, salt="n")
         nulls = out.filter(F.col("lang").isNull()).count()
         assert nulls == 20  # rate 1.0 exact, none silently dropped
+
+
+class TestDeterministicRepeat:
+    """deterministic_repeat: per-row multiplicity floor(rate) + one
+    hash-decided fractional copy — exact per doc, rate in expectation."""
+
+    def test_exact_per_doc_copies_match_md5_recomputation(self, spark):
+        # the cross-engine contract, recomputed independently in pure
+        # Python: copies(doc) == floor(rate) + (u < frac(rate)) with
+        # u = int(md5(salt||key)[:8], 16) / 2^32 — exact, per doc, over
+        # a spread of fractional/integer/sub-1 rates
+        import hashlib
+        import math
+
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 7).cast("double") * 0.37).alias("rate"),
+        )
+        out = deterministic_repeat(df, "rate", salt="rep")
+        got: dict[int, list[int]] = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, []).append(r.copy)
+        for i in range(2000):
+            rate = (i % 7) * 0.37
+            u = (
+                int(hashlib.md5(f"rep{i}".encode()).hexdigest()[:8], 16)
+                / 2**32
+            )
+            want = math.floor(rate) + (1 if u < rate - math.floor(rate) else 0)
+            copies = sorted(got.get(i, []))
+            assert copies == list(range(want)), (i, rate, copies, want)
+
+    def test_expected_multiplicity(self, spark):
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.range(20000).select(
+            F.col("id").alias("doc_id"), F.lit(2.5).alias("rate")
+        )
+        n = deterministic_repeat(df, "rate", salt="e").count()
+        assert abs(n / 20000 - 2.5) < 0.02  # 2 or 3 copies, mean 2.5
+
+    def test_sub_one_rate_subsumes_downsampling(self, spark):
+        # rate < 1: floor = 0, keep-one with prob rate — the SAME kept
+        # set as hash_sample at the same (salt, key)
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.range(5000).select(F.col("id").alias("doc_id"))
+        rep = deterministic_repeat(
+            df.withColumn("rate", F.lit(0.3)), "rate", salt="s1"
+        )
+        assert {r.doc_id for r in rep.collect()} == {
+            r.doc_id for r in hash_sample(df, 0.3, salt="s1").collect()
+        }
+        assert rep.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    def test_partition_invariant(self, spark):
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 5).cast("double") * 0.61).alias("rate"),
+        )
+        a = sorted(
+            (r.doc_id, r.copy)
+            for r in deterministic_repeat(df, "rate", salt="p").collect()
+        )
+        b = sorted(
+            (r.doc_id, r.copy)
+            for r in deterministic_repeat(
+                df.repartition(13), "rate", salt="p"
+            ).collect()
+        )
+        assert a == b
+
+    def test_no_shuffle_no_python(self, spark):
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit(1.5).alias("rate")
+        )
+        plan = (
+            deterministic_repeat(df, "rate", salt="x")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestTemperatureRepeat:
+    """temperature_repeat: the UPSAMPLING dual of temperature_mix —
+    head stratum emits exactly once, tail strata repeat (fractional
+    epochs) so emitted sizes follow the c^alpha law."""
+
+    def test_alpha_one_everything_exactly_once(self, skewed):
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        out = temperature_repeat(skewed, "lang", 1.0, salt="t")
+        assert out.count() == 10000
+        assert out.filter(F.col("copy") != 0).count() == 0
+
+    def test_head_stratum_exactly_one_copy(self, skewed):
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        out = temperature_repeat(skewed, "lang", 0.5, salt="t")
+        en = out.filter(F.col("lang") == "en")
+        assert en.count() == 6000  # rate anchored at 1.0: no repeats
+        assert en.filter(F.col("copy") != 0).count() == 0
+
+    def test_alpha_zero_equalizes_at_head_count(self, skewed):
+        from gnames_spark.operators.sampling import (
+            repeat_rates,
+            temperature_repeat,
+        )
+
+        rates = {
+            r.lang: r.rate
+            for r in repeat_rates(skewed, "lang", 0.0).collect()
+        }
+        assert rates["en"] == 1.0  # head anchored at one copy
+        assert abs(rates["fr"] - 6000 / 200) < 1e-6
+        got = {
+            r.lang: r.n
+            for r in temperature_repeat(skewed, "lang", 0.0, salt="t")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got["en"] == 6000
+        for lang in ("de", "es", "fr"):
+            assert abs(got[lang] - 6000) < 120  # fractional-copy noise
+
+    def test_every_doc_survives(self, skewed):
+        # repeat rates are >= 1 by construction: upsampling never drops
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        out = temperature_repeat(skewed, "lang", 0.3, salt="t")
+        assert out.select("doc_id").distinct().count() == 10000
+
+    def test_alpha_half_follows_sqrt_law(self, skewed):
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        got = {
+            r.lang: r.n
+            for r in temperature_repeat(skewed, "lang", 0.5, salt="t")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # emitted_s ~ sqrt(c_s * c_max): fr -> sqrt(200*6000) ~ 1095
+        expected_fr = (200 * 6000) ** 0.5
+        assert abs(got["fr"] - expected_fr) / expected_fr < 0.1
+        assert abs(got["de"] / got["es"] - (3000 / 800) ** 0.5) < 0.15
+
+    def test_deterministic_and_partition_invariant(self, skewed):
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        a = sorted(
+            (r.doc_id, r.copy)
+            for r in temperature_repeat(skewed, "lang", 0.4, salt="x").collect()
+        )
+        b = sorted(
+            (r.doc_id, r.copy)
+            for r in temperature_repeat(
+                skewed.repartition(13), "lang", 0.4, salt="x"
+            ).collect()
+        )
+        assert a == b
+
+    def test_null_stratum_survives(self, spark):
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        rows = [(i, "en" if i < 80 else None) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out = temperature_repeat(df, "lang", 0.0, salt="n")
+        # en is the head (80): exactly once; null stratum (20) repeats
+        # to ~80 emitted rows
+        assert out.filter(F.col("lang") == "en").count() == 80
+        nulls = out.filter(F.col("lang").isNull()).count()
+        assert abs(nulls - 80) < 15
+
+    def test_rates_join_broadcasts_no_data_shuffle(self, skewed):
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        plan = (
+            temperature_repeat(skewed, "lang", 0.5, salt="t")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "Python" not in plan
+
+    def test_alpha_validation(self, skewed):
+        from gnames_spark.operators.sampling import repeat_rates
+
+        with pytest.raises(ValueError):
+            repeat_rates(skewed, "lang", 1.5)
