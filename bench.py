@@ -75,6 +75,9 @@ def _bench_queries(spark, sf_dir):
         # round-4 capstone: components -> quality-aware keep ->
         # temperature mix -> sequence packing, one composed query
         "dedup_curation_end_to_end",
+        # round-5: upsampling mix + tokenizer-count packing
+        "dedup_temperature_repeat",
+        "text_pack_tokens_col",
     ]
     timings: dict[str, float] = {}
     for name in picked:
@@ -144,6 +147,7 @@ def _bench_queries(spark, sf_dir):
     # argument.
     full_dps = None
     full_stages = None
+    funnel_dps = None
     if n_big > 0 and os.environ.get("SPARK_GRAFT_SKIP_FULLCFG") != "1":
         fcfg = cfg.with_overrides(
             collapse_url_snapshots=True,
@@ -159,11 +163,36 @@ def _bench_queries(spark, sf_dir):
         syn = pipe.run(pages)
         syn["components"].count()
         full_sec = round(time.monotonic() - t0, 3)
-        pages.unpersist()
         timings["dedup_pipeline_120k_fullconfig"] = full_sec
         full_dps = round(n_big / full_sec, 1) if full_sec else None
+
+        # the WHOLE training-data funnel in one number: on top of the
+        # same fullconfig run, keep one representative per cluster,
+        # temperature-mix the survivors (alpha=0.5 over lang), lay the
+        # mix out as budget-token training sequences, and materialize
+        # the shard stats — pages in -> packed layout out.
+        from gnames_spark.operators.packing import pack_sequences, pack_stats
+        from gnames_spark.operators.sampling import temperature_mix
+
+        t1 = time.monotonic()
+        kept = (
+            syn["representatives"]
+            .filter(F.col("is_representative"))
+            .select("doc_id")
+        )
+        train = syn["docs"].join(kept, "doc_id").select("doc_id", "lang", "text")
+        mixed = temperature_mix(train, "lang", 0.5, salt="bench")
+        layout = pack_sequences(mixed, budget=2048, n_shards=64, salt="bench")
+        pack_stats(layout, 2048).collect()
+        tail_sec = round(time.monotonic() - t1, 3)
+        pages.unpersist()
+        timings["curation_tail_120k_mix_pack"] = tail_sec
+        funnel_sec = round(full_sec + tail_sec, 3)
+        funnel_dps = round(n_big / funnel_sec, 1) if funnel_sec else None
         full_stages = {m.stage: round(m.secs, 2) for m in pipe.metrics.stages}
-    return timings, n_docs, pipeline_sec, syn_dps, big_dps, full_dps, full_stages
+        full_stages["curation_tail"] = round(tail_sec, 2)
+    return (timings, n_docs, pipeline_sec, syn_dps, big_dps, full_dps,
+            full_stages, funnel_dps)
 
 
 def main() -> None:
@@ -175,7 +204,7 @@ def main() -> None:
     spark = get_spark(app_name="gnames_spark_bench", master=f"local[{cpus}]")
     try:
         (timings, n_docs, pipeline_sec, syn_dps, big_dps,
-         full_dps, full_stages) = _bench_queries(spark, sf_dir)
+         full_dps, full_stages, funnel_dps) = _bench_queries(spark, sf_dir)
     finally:
         spark.stop()
 
@@ -190,6 +219,7 @@ def main() -> None:
         "synthetic_60k_docs_per_sec": syn_dps,
         "synthetic_120k_docs_per_sec": big_dps,
         "fullconfig_120k_docs_per_sec": full_dps,
+        "funnel_120k_docs_per_sec": funnel_dps,
         "fullconfig_120k_stages_sec": full_stages,
         "cpus": int(cpus),
     }
