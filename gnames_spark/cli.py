@@ -132,6 +132,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "representatives (0=equalize strata, 1=keep all); "
                         "writes <out>/training_set")
     p.add_argument("--mix-salt", default="mix")
+    p.add_argument("--mix-mode", choices=("sample", "repeat"),
+                   default="sample",
+                   help="sample = temperature DOWN-sampling (head strata "
+                        "drop docs); repeat = UP-sampling (head stratum "
+                        "kept exactly once, low-resource strata repeated "
+                        "by deterministic integer+fractional copies; "
+                        "training_set gains a 0-based copy column)")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="tokens per training sequence; packs the training "
                         "set concat-and-cut and writes <out>/training_layout")
@@ -470,7 +477,10 @@ def main(argv: list[str] | None = None) -> int:
         # curation tail: kept representatives → temperature mix →
         # concat-and-cut packing layout (the training-set deliverable)
         from gnames_spark.operators.packing import pack_sequences
-        from gnames_spark.operators.sampling import temperature_mix
+        from gnames_spark.operators.sampling import (
+            temperature_mix,
+            temperature_repeat,
+        )
 
         docs_tbl = res.get("docs")
         if docs_tbl is None:
@@ -504,9 +514,17 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id", *lang_cols, "text"
         )
         if args.mix_alpha is not None:
-            train = temperature_mix(
-                train, "lang", args.mix_alpha, salt=args.mix_salt
-            )
+            if args.mix_mode == "repeat":
+                # upsampling: copies of a doc are interchangeable, so
+                # the packer's duplicate-id handling (disjoint offsets,
+                # deterministic multiset) covers the repeated rows
+                train = temperature_repeat(
+                    train, "lang", args.mix_alpha, salt=args.mix_salt
+                )
+            else:
+                train = temperature_mix(
+                    train, "lang", args.mix_alpha, salt=args.mix_salt
+                )
         # consumed twice (training_set write + the packer): cut lineage
         # once instead of re-running the join + mix per consumer
         train = train.localCheckpoint(eager=True)

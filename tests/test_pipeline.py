@@ -494,6 +494,53 @@ class TestCurationTail:
                 assert r.start_offset == pos
                 pos += r.n_tokens
 
+    def test_cli_mix_mode_repeat(self, spark, tmp_path):
+        """--mix-mode repeat upsamples: every kept representative
+        survives (>=1 copy, the head stratum exactly once), training_set
+        carries the 0-based copy column, and the packing layout lays the
+        repeated multiset out contiguously."""
+        from gnames_spark.cli import main
+
+        pages = generate_pages(spark, 300, seed=SEED)
+        inp = str(tmp_path / "pages_rep.parquet")
+        pages.write.parquet(inp)
+        out = str(tmp_path / "out_rep")
+        assert main([
+            "--input", inp, "--output", out, "--shuffle-partitions", "4",
+            "--mix-alpha", "0.5", "--mix-mode", "repeat",
+            "--pack-budget", "64", "--pack-shards", "2",
+        ]) == 0
+
+        kept = {
+            r.doc_id
+            for r in spark.read.parquet(f"{out}/representatives")
+            .filter("is_representative")
+            .collect()
+        }
+        train = spark.read.parquet(f"{out}/training_set").collect()
+        # upsampling never drops: every representative appears >= once
+        assert {r.doc_id for r in train} == kept
+        assert len(train) >= len(kept)
+        assert "copy" in train[0].asDict()
+        # per-doc copies are 0-based and contiguous
+        by_doc: dict[int, list[int]] = {}
+        for r in train:
+            by_doc.setdefault(r.doc_id, []).append(r.copy)
+        for copies in by_doc.values():
+            assert sorted(copies) == list(range(len(copies)))
+
+        layout = spark.read.parquet(f"{out}/training_layout").collect()
+        assert len(layout) == len(train)  # one layout row per copy
+        by_shard: dict[int, list] = {}
+        for r in layout:
+            by_shard.setdefault(r.shard, []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.start_offset)
+            pos = 0
+            for r in rows:
+                assert r.start_offset == pos
+                pos += r.n_tokens
+
     def test_cli_pack_only_without_lang(self, spark, tmp_path):
         """--pack-budget alone works on a (url, text)-only corpus —
         packing never needed lang."""
