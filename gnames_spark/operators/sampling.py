@@ -151,7 +151,9 @@ def deterministic_repeat(
     Scale: a codegen filter + a bounded explode (ceil(rate) rows out
     per row in) — no shuffle, no Python, no driver state. The explode
     FOLLOWS any filter Catalyst can push to the scan, and output size
-    is sum(rate) rows by construction."""
+    is sum(rate) rows by construction. A NULL rate drops the row (the
+    n_copies comparison is NULL, which the >0 filter rejects) — callers
+    wanting keep-on-NULL must coalesce upstream."""
     rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
     n_copies = (
         F.floor(rate) + (hash_uniform(key_col, salt) < rate - F.floor(rate)).cast("long")

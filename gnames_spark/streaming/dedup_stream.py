@@ -423,6 +423,7 @@ def streaming_packing(
     budget: int,
     n_shards: int,
     salt: str = "pack",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Streaming sequence packing: arriving docs append to per-shard
     token streams, emitting each doc's (shard, start_offset, n_tokens,
@@ -439,6 +440,11 @@ def streaming_packing(
     in arrival order — the same contract as
     pack_sequences_incremental, which is the batch tool for replaying
     a multi-batch layout deterministically.
+
+    ``tokens_col`` plugs a precomputed per-doc token count (e.g. a real
+    tokenizer count) into the layout, mirroring the batch operator —
+    the same config (budget, n_shards, salt, token definition) must be
+    used across the batch/stream/incremental forms.
     """
     from gnames_spark.functions.shingles import tokens
     from gnames_spark.operators.packing import _validate
@@ -448,9 +454,14 @@ def streaming_packing(
     base = docs
     if "doc_id" not in base.columns:
         base = base.withColumn("doc_id", F.xxhash64("url"))
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.size(tokens("text")).cast("long")
+    )
     t = base.select(
         "doc_id",
-        F.size(tokens("text")).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         hash_prefix("doc_id", salt).alias("h"),
     ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
 

@@ -299,6 +299,51 @@ class TestStreamingPacking:
         )
         assert got == want
 
+    def test_tokens_col_matches_batch_operator(self, spark, pages_dir):
+        """The plugged token currency flows through the streaming form
+        too: a precomputed count column drives the same layout as the
+        batch operator with the same tokens_col."""
+        from gnames_spark.operators.packing import pack_sequences
+        from gnames_spark.streaming.dedup_stream import streaming_packing
+
+        bpe = F.expr("CAST((length(text) + 3) DIV 4 AS LONG)")
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .parquet(pages_dir)
+            .withColumn("n_bpe", bpe)
+        )
+        layout = streaming_packing(
+            stream, budget=64, n_shards=4, salt="spt", tokens_col="n_bpe"
+        )
+        q = (
+            layout.writeStream.format("memory")
+            .queryName("pack_stream_tok")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, spark.table("pack_stream_tok").collect()))
+        batch = (
+            spark.read.parquet(pages_dir)
+            .withColumn("doc_id", F.xxhash64("url"))
+            .withColumn("n_bpe", bpe)
+        )
+        want = sorted(
+            map(
+                tuple,
+                pack_sequences(batch, 64, 4, salt="spt", tokens_col="n_bpe")
+                .select(
+                    "doc_id", "shard", "start_offset", "n_tokens",
+                    "first_seq", "last_seq",
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+
     def test_second_batch_appends(self, spark, tmp_path_factory):
         """Docs arriving in a later micro-batch land after the standing
         tails — the append-log contract."""
