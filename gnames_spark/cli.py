@@ -186,6 +186,11 @@ def _config_from_args(args: argparse.Namespace):
 
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.mix_mode != "sample" and args.mix_alpha is None:
+        # fail fast like the other tail guards: a mode with no alpha
+        # would silently skip mixing and exit 0 without any repeats
+        print("--mix-mode repeat needs --mix-alpha", file=sys.stderr)
+        return 2
 
     from gnames_spark.pipeline import DedupPipeline
     from gnames_spark.session import get_spark

@@ -42,6 +42,36 @@ def _validate(budget: int, n_shards: int) -> None:
         raise ValueError(f"n_shards must be positive: {n_shards}")
 
 
+def token_count(text_col: str, tokens_col: str | None) -> F.Column:
+    """The layout's token currency, in ONE place for every packing form
+    (batch, incremental, streaming — the docstrings require them to
+    share a token definition): a precomputed count column when
+    ``tokens_col`` is plugged, whitespace tokens of ``text_col``
+    otherwise. Plugged counts are runtime-VALIDATED — a NULL (missed
+    upstream tokenizer join) or negative count would silently corrupt
+    the disjoint-offset invariant every consumer depends on (NULLs
+    vanish from the window sum; negatives walk the running total
+    backwards into earlier docs' spans), so the job fails fast with the
+    offending value instead."""
+    if tokens_col is None:
+        return F.size(tokens(text_col)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    return (
+        F.when(n >= 0, n)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"packing: tokens_col {tokens_col!r} must be a "
+                        "non-negative count, got: "
+                    ),
+                    F.coalesce(n.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long")
+        )
+    )
+
+
 def pack_sequences_incremental(
     new_docs: DataFrame,
     base_stats: DataFrame,
@@ -265,14 +295,9 @@ def pack_sequences(
     stream offset.
     """
     _validate(budget, n_shards)
-    n_tok = (
-        F.col(tokens_col).cast("long")
-        if tokens_col is not None
-        else F.size(tokens(text_col)).cast("long")
-    )
     t = docs.select(
         id_col,
-        n_tok.alias("n_tokens"),
+        token_count(text_col, tokens_col).alias("n_tokens"),
         hash_prefix(id_col, salt).alias("h"),
     ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
     w = (

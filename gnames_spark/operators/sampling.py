@@ -88,19 +88,7 @@ def temperature_rates(
 
     Scale: one map-side-combinable count per stratum; the rates table
     is |strata| rows — broadcast onward."""
-    if not (0.0 <= alpha <= 1.0):
-        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
-    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_total"))
-    eff = counts.agg(
-        F.min(F.pow(F.col("n_total"), F.lit(1.0 - alpha))).alias("_m")
-    )
-    return counts.crossJoin(F.broadcast(eff)).select(
-        stratum_col,
-        "n_total",
-        F.round(
-            F.col("_m") / F.pow(F.col("n_total"), F.lit(1.0 - alpha)), 6
-        ).alias("rate"),
-    )
+    return _anchored_rates(df, stratum_col, alpha, F.min)
 
 
 def temperature_mix(
@@ -138,6 +126,7 @@ def deterministic_repeat(
     rate_col: str | Column,
     key_col: str = "doc_id",
     salt: str = "",
+    max_rate: float = 100_000.0,
 ) -> DataFrame:
     """Repeat each row to hit an arbitrary per-row target rate >= 0 —
     deterministically in (salt, key). Each row is emitted
@@ -151,12 +140,33 @@ def deterministic_repeat(
     Scale: a codegen filter + a bounded explode (ceil(rate) rows out
     per row in) — no shuffle, no Python, no driver state. The explode
     FOLLOWS any filter Catalyst can push to the scan, and output size
-    is sum(rate) rows by construction. A NULL rate drops the row (the
+    is sum(rate) rows by construction. The bound is ENFORCED: the
+    repeat array is 8 B x rate in executor memory per row, so a rate
+    above ``max_rate`` (default 1e5 ≈ 0.8 MB/row) fails the job with a
+    clear message instead of GC-thrashing — a corpus whose mix law
+    demands 1e5+ fractional epochs of a stratum needs a different plan
+    (cross-join against a range table, or a cap on the law), not a
+    silent 10M-element per-row array. A NULL rate drops the row (the
     n_copies comparison is NULL, which the >0 filter rejects) — callers
     wanting keep-on-NULL must coalesce upstream."""
     rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    checked = F.when(
+        rate <= F.lit(float(max_rate)), rate
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"deterministic_repeat: rate exceeds max_rate="
+                    f"{max_rate:g} (raise max_rate knowingly — the "
+                    f"repeat array costs 8 B x rate per row): "
+                ),
+                rate.cast("string"),
+            )
+        ).cast("double")
+    )
     n_copies = (
-        F.floor(rate) + (hash_uniform(key_col, salt) < rate - F.floor(rate)).cast("long")
+        F.floor(checked)
+        + (hash_uniform(key_col, salt) < checked - F.floor(checked)).cast("long")
     )
     return (
         df.withColumn("_dr_n", n_copies)
@@ -183,11 +193,22 @@ def repeat_rates(df: DataFrame, stratum_col: str, alpha: float) -> DataFrame:
     alpha=0 equalizes expected stratum sizes at the head's count.
 
     Scale: one map-side-combinable count per stratum; |strata| rows."""
+    return _anchored_rates(df, stratum_col, alpha, F.max)
+
+
+def _anchored_rates(df, stratum_col, alpha, anchor) -> DataFrame:
+    """Shared c^alpha rate law: rate_s = anchor_t(c_t^(1-alpha)) /
+    c_s^(1-alpha), rounded to 6 digits. ``anchor`` = F.min gives the
+    down-sampling rates (all <= 1, smallest-c^(1-alpha) stratum kept
+    whole); F.max gives the repeat rates (all >= 1, head stratum
+    emitted once). ONE place owns the cross-engine contract (the 6-digit
+    rounding and pow formulation the DuckDB oracles replay) so the two
+    duals can never drift."""
     if not (0.0 <= alpha <= 1.0):
         raise ValueError(f"alpha must be in [0, 1]: {alpha}")
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_total"))
     eff = counts.agg(
-        F.max(F.pow(F.col("n_total"), F.lit(1.0 - alpha))).alias("_m")
+        anchor(F.pow(F.col("n_total"), F.lit(1.0 - alpha))).alias("_m")
     )
     return counts.crossJoin(F.broadcast(eff)).select(
         stratum_col,

@@ -191,21 +191,15 @@ class DedupPipeline:
         )
 
     # -- stages --------------------------------------------------------
-    def _apply_preclean(
-        self, df: DataFrame, audit: list | None = None
-    ) -> DataFrame:
-        """The full config-gated hygiene chain (domain blocklist →
-        collapse → strip → repetition gate → PII redaction) — the
-        composition of the URL-level and text-level phases below.
-        prepare_docs / preclean_report run the two phases with html
-        extraction BETWEEN them (cheap-screen-before-expensive-work:
-        blocked/stale pages must never pay the extraction kernel — the
-        same discipline as the reference's bloom→trie→DB cascade,
-        /root/reference/PLAN_gnmatcher_embed.md:14-18); this composed
-        form serves callers whose input already carries text."""
-        return self._apply_text_preclean(
-            self._apply_url_preclean(df, audit), audit
-        )
+    # The full hygiene chain is the composition of the two phases below;
+    # prepare_docs / preclean_report run them with html extraction
+    # BETWEEN (cheap-screen-before-expensive-work: blocked/stale pages
+    # must never pay the extraction kernel — the same discipline as the
+    # reference's bloom→trie→DB cascade,
+    # /root/reference/PLAN_gnmatcher_embed.md:14-18). There is
+    # deliberately no composed helper: a second entry point to the same
+    # chain is exactly what let the report and pipeline paths drift
+    # before the split.
 
     @staticmethod
     def _audit_ckpt(df: DataFrame, auditing: bool) -> DataFrame:
@@ -221,19 +215,22 @@ class DedupPipeline:
         BEFORE html extraction and blocked/stale pages never pay the
         extraction kernel. With ``audit`` (a list), each gate appends
         (gate, n_in, n_out, detail) — counting costs extra jobs, so the
-        pipeline path passes None and pays nothing."""
+        pipeline path passes None and pays nothing. Unlike the text
+        phase, audit mode NEVER checkpoints here: the input may still
+        carry the raw ``html`` bytes (checkpointing would pin the whole
+        crawl to executor storage for a diagnostic), and the audit
+        counts only project url/warc_ts — column pruning keeps the
+        recomputation of these two cheap gates off the html column
+        entirely."""
         cfg = self.cfg
         auditing = audit is not None
-        ckpt = lambda d: self._audit_ckpt(d, auditing)  # noqa: E731
 
         if cfg.blocked_domains:
             from gnames_spark.functions.urlnorm import filter_blocked_domains
 
             n_in = df.count() if auditing else None
-            df = ckpt(
-                filter_blocked_domains(
-                    df, list(cfg.blocked_domains), id_col="url"
-                )
+            df = filter_blocked_domains(
+                df, list(cfg.blocked_domains), id_col="url"
             )
             if auditing:
                 audit.append(
@@ -247,10 +244,8 @@ class DedupPipeline:
             if "warc_ts" not in df.columns:
                 raise ValueError("collapse_url_snapshots needs a warc_ts column")
             n_in = df.count() if auditing else None
-            df = ckpt(
-                latest_snapshot(df, ts_col="warc_ts", id_col="url").drop(
-                    "canonical_url", "n_snapshots"
-                )
+            df = latest_snapshot(df, ts_col="warc_ts", id_col="url").drop(
+                "canonical_url", "n_snapshots"
             )
             if auditing:
                 audit.append(

@@ -446,22 +446,16 @@ def streaming_packing(
     the same config (budget, n_shards, salt, token definition) must be
     used across the batch/stream/incremental forms.
     """
-    from gnames_spark.functions.shingles import tokens
-    from gnames_spark.operators.packing import _validate
+    from gnames_spark.operators.packing import _validate, token_count
     from gnames_spark.operators.sampling import hash_prefix
 
     _validate(budget, n_shards)
     base = docs
     if "doc_id" not in base.columns:
         base = base.withColumn("doc_id", F.xxhash64("url"))
-    n_tok = (
-        F.col(tokens_col).cast("long")
-        if tokens_col is not None
-        else F.size(tokens("text")).cast("long")
-    )
     t = base.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        token_count("text", tokens_col).alias("n_tokens"),
         hash_prefix("doc_id", salt).alias("h"),
     ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
 

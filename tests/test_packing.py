@@ -332,3 +332,18 @@ class TestTokensColPacking:
                     seen_new = True
                 else:
                     assert not seen_new  # new docs only AFTER the tail
+
+    def test_null_or_negative_plugged_count_fails_fast(self, spark):
+        # a missed tokenizer join (NULL) or corrupt negative count
+        # would silently break the disjoint-offset invariant; the
+        # layout job must fail with the offending value instead
+        from pyspark.errors import PySparkException
+
+        rows = [(1, 5), (2, None), (3, 4)]
+        docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        with pytest.raises(PySparkException, match="non-negative"):
+            pack_sequences(docs, 64, 2, tokens_col="n_tok").collect()
+        rows = [(1, 5), (2, -3)]
+        docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        with pytest.raises(PySparkException, match="non-negative"):
+            pack_sequences(docs, 64, 2, tokens_col="n_tok").collect()

@@ -558,6 +558,16 @@ class TestCurationTail:
         assert layout.count() > 0
         assert "lang" not in spark.read.parquet(f"{out}/training_set").columns
 
+    def test_cli_mix_mode_without_alpha_fails_fast(self):
+        # --mix-mode repeat with no --mix-alpha would otherwise be
+        # silently ignored (no mixing, no copy column, exit 0)
+        from gnames_spark.cli import main
+
+        assert main([
+            "--input", "/nonexistent", "--output", "/nonexistent",
+            "--mix-mode", "repeat",
+        ]) == 2
+
     def test_cli_mix_without_lang_fails_fast(self, spark, tmp_path):
         from gnames_spark.cli import main
 

@@ -374,3 +374,23 @@ class TestTemperatureRepeat:
 
         with pytest.raises(ValueError):
             repeat_rates(skewed, "lang", 1.5)
+
+    def test_rate_above_max_rate_fails_fast(self, spark):
+        # the bounded-explode claim is ENFORCED: a repeat array is
+        # 8 B x rate per row, so absurd rates fail with a message
+        # instead of GC-thrashing the executor
+        from pyspark.errors import PySparkException
+
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit(2e5).alias("rate")
+        )
+        with pytest.raises(PySparkException, match="max_rate"):
+            deterministic_repeat(df, "rate", salt="x").count()
+        # raising the cap knowingly is allowed
+        n = deterministic_repeat(
+            df.withColumn("rate", F.lit(3.0)), "rate", salt="x",
+            max_rate=5.0,
+        ).count()
+        assert n == 30
