@@ -139,6 +139,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "kept exactly once, low-resource strata repeated "
                         "by deterministic integer+fractional copies; "
                         "training_set gains a 0-based copy column)")
+    p.add_argument("--mix-max-rate", type=float, default=100_000.0,
+                   help="repeat-mode guard: the largest per-stratum "
+                        "repeat rate allowed (the repeat array costs "
+                        "8 B x rate per row in executor memory); at "
+                        "alpha=0 the head/tail count ratio IS the "
+                        "largest rate — raise this knowingly for "
+                        "extremely skewed corpora")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="tokens per training sequence; packs the training "
                         "set concat-and-cut and writes <out>/training_layout")
@@ -524,7 +531,8 @@ def main(argv: list[str] | None = None) -> int:
                 # the packer's duplicate-id handling (disjoint offsets,
                 # deterministic multiset) covers the repeated rows
                 train = temperature_repeat(
-                    train, "lang", args.mix_alpha, salt=args.mix_salt
+                    train, "lang", args.mix_alpha, salt=args.mix_salt,
+                    max_rate=args.mix_max_rate,
                 )
             else:
                 train = temperature_mix(

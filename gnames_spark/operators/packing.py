@@ -181,11 +181,38 @@ def materialize_sequences(
     training window's worth of text, so the groupBy state is flat-rate
     regardless of corpus size. Doc texts ship once per touched
     sequence (≤ ceil(n_tokens/budget) copies — the same factor as the
-    layout explode)."""
+    layout explode).
+
+    Token-currency guard: materialization slices ACTUAL whitespace
+    tokens at the layout's offsets, so it is only meaningful for
+    layouts computed with the default whitespace counter. Feeding it a
+    ``tokens_col`` layout would silently slice wrong spans — so every
+    doc's layout ``n_tokens`` is runtime-CHECKED against the whitespace
+    token count of its text and the job fails with both numbers on the
+    first mismatch."""
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
     t = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    checked_n = F.when(
+        F.col("n_tokens") == F.size("_toks"), F.col("n_tokens")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("materialize_sequences: layout n_tokens ("),
+                F.col("n_tokens").cast("string"),
+                F.lit(") != whitespace token count of the text ("),
+                F.size("_toks").cast("string"),
+                F.lit(") for doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    " — the layout was computed with a different token "
+                    "currency (tokens_col?); materialization needs a "
+                    "whitespace-token layout"
+                ),
+            )
+        ).cast("long")
     )
     spans = (
         layout.filter(F.col("n_tokens") > 0)
@@ -194,7 +221,7 @@ def materialize_sequences(
             "shard",
             F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
             "start_offset",
-            (F.col("start_offset") + F.col("n_tokens")).alias("_end"),
+            (F.col("start_offset") + checked_n).alias("_end"),
             "_toks",
         )
     )
@@ -278,7 +305,8 @@ def pack_sequences(
     TOKENIZER tokens by passing the column — budget then means what the
     trainer means by it. :func:`materialize_sequences` remains
     whitespace-token-based (it slices the actual text stream) and is
-    only meaningful for layouts computed with the default counter.
+    only meaningful for layouts computed with the default counter —
+    enforced there by a runtime currency check.
 
     Each doc is hashed to one of ``n_shards`` independent token
     streams; within its shard the stream order is (hash, id). The doc

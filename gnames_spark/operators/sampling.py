@@ -150,8 +150,11 @@ def deterministic_repeat(
     n_copies comparison is NULL, which the >0 filter rejects) — callers
     wanting keep-on-NULL must coalesce upstream."""
     rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    # null-safe: a NULL rate passes through (and is dropped by the
+    # n_copies > 0 filter, per the contract above) — only a PRESENT
+    # rate above the cap aborts
     checked = F.when(
-        rate <= F.lit(float(max_rate)), rate
+        rate.isNull() | (rate <= F.lit(float(max_rate))), rate
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -160,7 +163,7 @@ def deterministic_repeat(
                     f"{max_rate:g} (raise max_rate knowingly — the "
                     f"repeat array costs 8 B x rate per row): "
                 ),
-                rate.cast("string"),
+                F.coalesce(rate.cast("string"), F.lit("NULL")),
             )
         ).cast("double")
     )
@@ -225,6 +228,7 @@ def temperature_repeat(
     alpha: float,
     key_col: str = "doc_id",
     salt: str = "",
+    max_rate: float = 100_000.0,
 ) -> DataFrame:
     """Temperature-``alpha`` corpus mix by UPSAMPLING: repeat each
     low-resource stratum rate_s = max_t(c_t^(1-alpha)) / c_s^(1-alpha)
@@ -238,7 +242,11 @@ def temperature_repeat(
 
     The rates join broadcasts (|strata| rows) and is NULL-SAFE (a NULL
     stratum is its own stratum); the repeat is a codegen filter +
-    bounded explode — no shuffle of the data side."""
+    bounded explode — no shuffle of the data side. ``max_rate`` passes
+    through to :func:`deterministic_repeat`'s memory guard: at alpha=0
+    the head/tail count ratio IS the largest rate, so a legitimately
+    extreme corpus (1M en docs vs 5 of a rare language = rate 2e5)
+    must raise it knowingly (CLI: ``--mix-max-rate``)."""
     rates = repeat_rates(df, stratum_col, alpha).select(
         F.col(stratum_col).alias("_tr_stratum"),
         F.col("rate").alias("_tr_rate"),
@@ -250,7 +258,8 @@ def temperature_repeat(
         )
         .transform(
             lambda d: deterministic_repeat(
-                d, F.col("_tr_rate"), key_col=key_col, salt=salt
+                d, F.col("_tr_rate"), key_col=key_col, salt=salt,
+                max_rate=max_rate,
             )
         )
         .drop("_tr_stratum", "_tr_rate")

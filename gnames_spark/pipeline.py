@@ -201,12 +201,6 @@ class DedupPipeline:
     # chain is exactly what let the report and pipeline paths drift
     # before the split.
 
-    @staticmethod
-    def _audit_ckpt(df: DataFrame, auditing: bool) -> DataFrame:
-        # audit mode counts between gates: checkpoint each boundary
-        # so a count never recomputes the gates before it
-        return df.localCheckpoint(eager=True) if auditing else df
-
     def _apply_url_preclean(
         self, df: DataFrame, audit: list | None = None
     ) -> DataFrame:
@@ -259,10 +253,15 @@ class DedupPipeline:
     ) -> DataFrame:
         """Text-level hygiene gates (boilerplate line strip → repetition
         gate → PII redaction) — they read ``text``, so they run AFTER
-        html extraction. Same audit contract as the URL phase."""
+        html extraction. Same audit contract as the URL phase, but here
+        audit mode DOES checkpoint each gate boundary: the gates are
+        expensive (line/gram shuffles) and the input is html-free, so a
+        count never recomputes the gates before it."""
         cfg = self.cfg
         auditing = audit is not None
-        ckpt = lambda d: self._audit_ckpt(d, auditing)  # noqa: E731
+
+        def ckpt(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True) if auditing else d
 
         if (
             cfg.strip_shared_lines_min_docs is not None

@@ -347,3 +347,22 @@ class TestTokensColPacking:
         docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
         with pytest.raises(PySparkException, match="non-negative"):
             pack_sequences(docs, 64, 2, tokens_col="n_tok").collect()
+
+    def test_materialize_rejects_foreign_currency_layout(self, spark):
+        # materialize slices whitespace tokens: a tokens_col layout
+        # must fail fast with both counts, never silently mis-slice
+        from pyspark.errors import PySparkException
+
+        from gnames_spark.operators.packing import materialize_sequences
+
+        rows = [(1, "alpha beta gamma delta"), (2, "one two three")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        bpe = docs.withColumn(
+            "n_bpe", F.expr("CAST((length(text) + 3) DIV 4 AS LONG)")
+        )
+        layout = pack_sequences(bpe, 64, 1, tokens_col="n_bpe")
+        with pytest.raises(PySparkException, match="token currency|currency"):
+            materialize_sequences(layout, docs, 64).collect()
+        # the whitespace layout still materializes fine
+        ok = materialize_sequences(pack_sequences(docs, 64, 1), docs, 64)
+        assert ok.count() == 1

@@ -394,3 +394,30 @@ class TestTemperatureRepeat:
             max_rate=5.0,
         ).count()
         assert n == 30
+
+    def test_null_rate_drops_row_not_job(self, spark):
+        # docstring contract: a NULL rate drops the row; it must not
+        # trip the max_rate guard (NULL-safe check)
+        from gnames_spark.operators.sampling import deterministic_repeat
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, None), (3, 0.0)], "doc_id long, rate double"
+        )
+        got = sorted(
+            (r.doc_id, r.copy)
+            for r in deterministic_repeat(df, "rate", salt="n").collect()
+        )
+        assert got == [(1, 0), (1, 1)]  # doc 2 (NULL) and 3 (0.0) dropped
+
+    def test_max_rate_plumbs_through_temperature_repeat(self, spark):
+        from pyspark.errors import PySparkException
+
+        from gnames_spark.operators.sampling import temperature_repeat
+
+        # head 90 / tail 3 at alpha=0 -> tail rate 30
+        rows = [(i, "en" if i < 90 else "xx") for i in range(93)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        with pytest.raises(PySparkException, match="max_rate"):
+            temperature_repeat(df, "lang", 0.0, salt="m", max_rate=10).count()
+        n = temperature_repeat(df, "lang", 0.0, salt="m", max_rate=50).count()
+        assert n >= 93  # allowed once the cap is raised knowingly

@@ -21,7 +21,9 @@ import sys
 import time
 
 os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 # measured in the round-5 degraded phase (for contrast) and the best
 # windows seen this project; update when a new quiet window is observed
